@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``  — flagship end-to-end dedup slice on sf0.001.
+``queries()``     — one callable per implemented operator (SURVEY §2).
+``oracle_sql()``  — DuckDB twins computing bit-identical results (all hashes
+                    are md5-derived and floats are rounded to 6 decimals in
+                    BOTH engines; see webdedup/oracle_sql.py).
+
+Queries without an oracle entry are inherently approximate/seeded operators
+(banded MinHash LSH candidates, hyperplane LSH) — the driver records
+rows-only checks for those; their correctness is covered by pytest against
+the brute-force oracle in webdedup/oracle.py.
 """
 
 from __future__ import annotations
@@ -12,27 +17,153 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from webdedup import oracle_sql as oracle_sql_mod
+from webdedup.config import DEFAULT as CFG
+from webdedup.operators import (
+    exact, jaccard, minhash_lsh, simhash_lsh, substring, textstats, similarity,
+)
+from webdedup.operators.components import connected_components
+from webdedup.operators.represent import representatives
+from webdedup.sources import tables
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.documents(spark, sf_dir)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.embeddings(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full dedup slice on sf0.001 — SimHash-LSH pairs (exact
+    Hamming<=5 semantics) + exact dups, clustered by distributed CC, with a
+    representative chosen per cluster."""
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    e1 = exact.exact_dup_edges(docs).select(
+        F.col("src").alias("u"), F.col("dst").alias("v"))
+    sim = simhash_lsh.simhash_pairs(docs, cfg=CFG).select(
+        F.col("a").alias("u"), F.col("b").alias("v"))
+    assign = connected_components(
+        e1.unionByName(sim), nodes=docs.select("doc_id"), cfg=CFG)
+    return representatives(assign, docs.withColumn("n_chars", F.length("text")),
+                           id_col="doc_id", score_col="n_chars")
 
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- exact dedup (SURVEY A1/S3) ---
+    q["exact_dup_groups"] = lambda s, d: exact.exact_dup_groups(_docs(s, d))
+    q["content_hashes"] = lambda s, d: exact.with_content_hash(
+        _docs(s, d)).select("doc_id", "content_sha")
+
+    # --- text analysis ---
+    q["token_stats"] = lambda s, d: textstats.token_stats(_docs(s, d))
+    q["quality_scores"] = lambda s, d: textstats.quality_scores(_docs(s, d))
+    q["lang_id"] = lambda s, d: textstats.lang_id(_docs(s, d))
+    q["doc_fingerprint"] = lambda s, d: textstats.doc_fingerprint(_docs(s, d))
+
+    # --- simhash (SURVEY P6/P9/J1/J2) ---
+    q["simhash64"] = lambda s, d: simhash_lsh.simhash_fingerprints(
+        _docs(s, d)).select(F.col("id").alias("doc_id"), "simhash")
+    q["simhash_pairs"] = lambda s, d: simhash_lsh.simhash_pairs(
+        _docs(s, d), cfg=CFG)
+    q["simhash_pairs_combo"] = lambda s, d: simhash_lsh.simhash_pairs(
+        _docs(s, d), cfg=CFG, scheme="combo")
+
+    # --- shingles / jaccard (SURVEY P8/P11/J4/J6) ---
+    q["shingle_stats"] = lambda s, d: jaccard.shingle_sets(
+        _docs(s, d), cfg=CFG).select(
+            F.col("id").alias("doc_id"),
+            F.size("shingles").alias("n_shingles"))
+    q["jaccard_pairs"] = lambda s, d: jaccard.jaccard_all_pairs(
+        _docs(s, d), cfg=CFG, threshold=CFG.jaccard_threshold).withColumn(
+            "jaccard", F.round("jaccard", 6))
+    q["minhash_sig"] = lambda s, d: minhash_lsh.minhash_signatures(
+        _docs(s, d), cfg=CFG).select(
+            F.col("id").alias("doc_id"),
+            F.posexplode("minhash").alias("perm_id", "sig_value"))
+    # approximate (banded LSH) candidates -> exact-verified pairs; no SQL
+    # oracle (banding is probabilistic) — rows-only check + pytest coverage
+    q["minhash_lsh_pairs"] = lambda s, d: minhash_lsh.minhash_pairs(
+        _docs(s, d), cfg=CFG, threshold=CFG.jaccard_threshold).withColumn(
+            "jaccard", F.round("jaccard", 6))
+
+    # --- substring / suffix pass ---
+    q["substring_pairs"] = lambda s, d: substring.substring_pairs(
+        _docs(s, d), cfg=CFG)
+
+    # --- clustering + representatives (SURVEY C1/W1) ---
+    def _assignments(s: SparkSession, d: str) -> DataFrame:
+        docs = _docs(s, d)
+        e1 = exact.exact_dup_edges(docs).select(
+            F.col("src").alias("u"), F.col("dst").alias("v"))
+        sim = simhash_lsh.simhash_pairs(docs, cfg=CFG).select(
+            F.col("a").alias("u"), F.col("b").alias("v"))
+        jac = jaccard.jaccard_all_pairs(
+            docs, cfg=CFG, threshold=CFG.jaccard_threshold).select(
+            F.col("a").alias("u"), F.col("b").alias("v"))
+        return connected_components(
+            e1.unionByName(sim).unionByName(jac),
+            nodes=docs.select("doc_id"), cfg=CFG,
+        ).select(F.col("id").alias("doc_id"), "cluster_id")
+
+    q["cluster_assignments"] = _assignments
+
+    def _reps(s: SparkSession, d: str) -> DataFrame:
+        docs = _docs(s, d)
+        assign = _assignments(s, d).select(
+            F.col("doc_id").alias("id"), "cluster_id")
+        return representatives(
+            assign, docs.select("doc_id", "n_chars"),
+            id_col="doc_id", score_col="n_chars")
+
+    q["representatives"] = _reps
+
+    # --- embedding similarity ---
+    q["cosine_topk"] = lambda s, d: similarity.cosine_topk(
+        _emb(s, d), k=CFG.topk)
+    q["cosine_dup_pairs"] = lambda s, d: similarity.cosine_pairs(
+        _emb(s, d), threshold=CFG.cosine_threshold)
+    # seeded hyperplane LSH — no SQL oracle (driver rows-only check)
+    q["vector_signatures"] = lambda s, d: similarity.vector_signatures(
+        _emb(s, d), cfg=CFG)
+    q["lsh_cosine_pairs"] = lambda s, d: similarity.lsh_cosine_pairs(
+        _emb(s, d), threshold=CFG.cosine_threshold, cfg=CFG)
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dup_groups": oracle_sql_mod.exact_dup_groups(),
+        "content_hashes": oracle_sql_mod.content_hashes(),
+        "token_stats": oracle_sql_mod.token_stats(),
+        "quality_scores": oracle_sql_mod.quality_scores(),
+        "lang_id": oracle_sql_mod.lang_id(),
+        "doc_fingerprint": oracle_sql_mod.doc_fingerprint(),
+        "simhash64": oracle_sql_mod.simhash64(),
+        "simhash_pairs": oracle_sql_mod.simhash_pairs(CFG.hamming_threshold),
+        "simhash_pairs_combo": oracle_sql_mod.simhash_pairs(CFG.hamming_threshold),
+        "shingle_stats": oracle_sql_mod.shingle_stats(CFG.shingle_k),
+        "jaccard_pairs": oracle_sql_mod.jaccard_pairs(
+            CFG.shingle_k, CFG.jaccard_threshold),
+        "minhash_sig": oracle_sql_mod.minhash_sig_long(CFG),
+        "substring_pairs": oracle_sql_mod.substring_pairs(CFG),
+        "cluster_assignments": oracle_sql_mod.cluster_assignments(CFG),
+        "representatives": oracle_sql_mod.representatives(CFG),
+        "cosine_topk": oracle_sql_mod.cosine_topk(CFG.topk),
+        "cosine_dup_pairs": oracle_sql_mod.cosine_pairs(CFG.cosine_threshold),
+    }
+

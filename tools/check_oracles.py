@@ -1,0 +1,85 @@
+"""Local mimic of the driver's Spark-vs-DuckDB correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at the given sf dir and
+compares against ``oracle_sql()`` through DuckDB: row count, column names,
+and order-insensitive value equality (sorted rows, stringified).
+
+Usage:  python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from webdedup.session import get_spark
+from webdedup.sources.tables import TABLES
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6f}"
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark(cores=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            print(f"{name:24s} rows-only: {len(srows)} rows")
+            continue
+        try:
+            ores = con.sql(oracles[name])
+            ocols = [c for c in ores.columns]
+            orows = ores.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name:24s} ORACLE SQL ERROR: {exc}")
+            failures += 1
+            continue
+        ok_cols = sorted(scols) == sorted(ocols)
+        a, b = norm_rows(scols, srows), norm_rows(ocols, orows)
+        ok_rows = a == b
+        status = "OK" if (ok_cols and ok_rows) else "MISMATCH"
+        print(f"{name:24s} {status}  spark={len(srows)} duck={len(orows)} "
+              f"cols={'OK' if ok_cols else (scols, ocols)}")
+        if not ok_rows and len(a) == len(b):
+            for x, y in zip(a, b):
+                if x != y:
+                    print(f"   first diff:\n     spark={x}\n     duck ={y}")
+                    break
+        failures += 0 if (ok_cols and ok_rows) else 1
+    spark.stop()
+    print("FAILURES:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,73 @@
+"""Frozen pipeline configuration.
+
+Defaults mirror the reference's CLI defaults so "same shingle/signature
+config" (BASELINE.json north_rule) is meaningful:
+
+- ``simhash_bits=64``        — reference ``run_pipeline.py:287-288``
+- ``hamming_threshold=5``    — reference ``run_pipeline.py:289-290`` / report p.14
+- ``simhash_bands=8``        — reference ``num_tables=8`` (``run_pipeline.py:407``);
+  for us bands double as the bit-sampling LSH decomposition: with
+  ``bands > hamming_threshold`` the band equi-join has *provable* recall 1.0
+  for pairs within the Hamming ball (pigeonhole), strictly better than the
+  reference's O(#buckets) multi-probe scan (``simhash.cpp:234-240``).
+- ``minhash_perms=128``, ``minhash_threshold=0.3`` — reference
+  ``src/similarity_search/minhash_search.py:12``
+- ``seed=42``                — reference ``run_pipeline.py:294`` / ``simhash.cpp:154``
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    seed: int = 42
+
+    # --- text -> token stream ---
+    shingle_k: int = 5            # 5-gram token shingles (SURVEY §2.2 P8)
+
+    # --- SimHash (64-bit fingerprint + bit-sampling LSH) ---
+    simhash_bits: int = 64
+    hamming_threshold: int = 5
+    simhash_bands: int = 8        # 8 bands x 8 bits; 8 > 5 => recall 1.0
+
+    # --- MinHash (128-perm signatures + banded LSH) ---
+    minhash_perms: int = 128
+    minhash_threshold: float = 0.3
+    minhash_bands: int = 32       # 32 bands x 4 rows = 128 (datasketch-style
+    minhash_rows: int = 4         # optimal split for threshold 0.3)
+
+    # --- exact n-gram Jaccard verification ---
+    jaccard_threshold: float = 0.5
+
+    # --- substring (suffix/anchor) pass ---
+    anchor_tokens: int = 16       # anchor k-gram length in tokens
+    anchor_mod: int = 8           # keep anchors with hash % mod == 0 (winnowing-ish)
+    substring_min_tokens: int = 32  # two sampled anchors ~ >=32-token overlap
+
+    # --- embedding similarity ---
+    embedding_dim: int = 64
+    cosine_threshold: float = 0.90
+    topk: int = 10
+    hyperplane_bits: int = 16     # random-hyperplane LSH for embeddings
+
+    # --- skew / scale controls ---
+    max_bucket_size: int = 200    # cap: quarantine LSH buckets larger than this
+                                  # (analog of reference max_candidates,
+                                  #  simhash.cpp:243-245)
+    salt_factor: int = 8          # salt hot keys into this many sub-keys
+
+    # --- connected components ---
+    cc_max_iterations: int = 50
+    cc_checkpoint_every: int = 3
+
+    def __post_init__(self) -> None:
+        assert self.minhash_bands * self.minhash_rows == self.minhash_perms
+        assert self.simhash_bits % self.simhash_bands == 0
+        assert self.simhash_bands > self.hamming_threshold, (
+            "bands must exceed hamming threshold for recall-1.0 bit sampling"
+        )
+
+
+DEFAULT = DedupConfig()

@@ -1,0 +1,110 @@
+"""Exact n-gram Jaccard: verification joins and the exact all-pairs operator.
+
+The reference's exact re-rank computes Jaccard between candidate docs
+(``minhash_search.py:81-83``, signature-estimate).  Here "exact" means true
+set Jaccard over 5-gram shingles (SURVEY §2.2 P11):
+
+    J(A,B) = |A n B| / (|A u B|)
+
+computed two ways:
+
+- ``jaccard_verify``    — for an existing candidate-pair frame: join shingle
+  *sets* to both sides and evaluate with ``array_intersect``/``array_union``.
+- ``jaccard_all_pairs`` — exact all-pairs via the inverted-index pattern:
+  explode distinct (doc, shingle-hash), self-join on shingle-hash, count
+  co-occurrences = |A n B|, then J = inter / (|A|+|B|-inter).  Any pair with
+  J > 0 shares >= 1 shingle, so recall is exactly 1.0 — this is the
+  DuckDB-oracle-matched operator.  Document-frequency capping
+  (``max_df``) is the web-scale escape hatch for stopword shingles; the
+  oracle query runs uncapped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webdedup.config import DedupConfig, DEFAULT
+from webdedup.functions.hashing import h60_col
+from webdedup.functions.tokenize import shingles_col, tokens_col
+
+
+def shingle_sets(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 cfg: DedupConfig = DEFAULT) -> DataFrame:
+    """(id, shingles: array<long>) — distinct 60-bit shingle hashes."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(
+                shingles_col(tokens_col(F.col(text_col)), cfg.shingle_k),
+                h60_col,
+            )
+        ).alias("shingles"),
+    )
+
+
+def shingle_index(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", cfg: DedupConfig = DEFAULT,
+                  max_df: int | None = None) -> DataFrame:
+    """Long-form inverted index (id, sh) of distinct shingle hashes."""
+    idx = (
+        shingle_sets(df, id_col, text_col, cfg)
+        .select("id", F.explode("shingles").alias("sh"))
+    )
+    if max_df is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("sh")
+        idx = (idx.withColumn("_df", F.count(F.lit(1)).over(w))
+               .filter(F.col("_df") <= max_df).drop("_df"))
+    return idx
+
+
+def jaccard_all_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", cfg: DedupConfig = DEFAULT,
+                      threshold: float | None = None,
+                      max_df: int | None = None) -> DataFrame:
+    """(a, b, jaccard) for every pair with J >= threshold — exact."""
+    t = cfg.jaccard_threshold if threshold is None else threshold
+    idx = shingle_index(df, id_col, text_col, cfg, max_df)
+    sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        idx.select(F.col("id").alias("a"), "sh")
+        .join(idx.select(F.col("id").alias("b"), "sh"), "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter
+        .join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= t)
+        .select("a", "b", "jaccard")
+    )
+
+
+def jaccard_verify(cands: DataFrame, df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", cfg: DedupConfig = DEFAULT,
+                   threshold: float | None = None) -> DataFrame:
+    """Verify candidate (a, b) pairs with exact shingle-set Jaccard.
+
+    The join back to the corpus is the reference's candidate-verification
+    join J6 (``simhash.cpp:250-256`` / ``minhash_search.py:73-83``)."""
+    t = cfg.jaccard_threshold if threshold is None else threshold
+    sets = shingle_sets(df, id_col, text_col, cfg)
+    sa = sets.select(F.col("id").alias("a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("id").alias("b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cands.join(sa, "a").join(sb, "b")
+        .withColumn("jaccard",
+                    F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+        .filter(F.col("jaccard") >= t)
+        .select("a", "b", "jaccard")
+    )

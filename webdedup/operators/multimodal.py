@@ -1,0 +1,100 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+A 100 TB training-data pipeline carries image/audio/video alongside text as
+``binary`` columns.  The decode/feature libraries are NOT in this container
+(per the build constraints), so the *decode kernel* is stubbed behind a
+deterministic fake — but everything Spark-side is real and tested: schema,
+Arrow batch iteration, constant-memory ``mapInPandas``, partition behavior,
+and the metadata contract.
+
+Swap ``_decode_stub`` for PIL/torchaudio/ffmpeg on a cluster; the operator
+signature does not change.  (Reference analog: the batched CNN feature
+extraction loop, ``base_extractor.py:46-69`` — batch-in/batch-out with a
+pluggable model.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, FloatType, LongType, StringType, StructField, StructType,
+)
+
+MEDIA_META_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("payload_sha", StringType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("feature", ArrayType(FloatType())),
+])
+
+FEATURE_DIM = 16
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Deterministic fake decode: (width, height, feature[16]).
+
+    REAL decode is NotImplemented in this container; this stub derives a
+    stable pseudo-feature from the payload bytes so the distributed
+    plumbing (batching, schema, dedup-over-features) is fully exercisable.
+    Raise instead if strictness is wanted:
+        raise NotImplementedError("image decode requires PIL/libvips")
+    """
+    h = np.frombuffer(
+        np.void(payload[:64].ljust(64, b"\0")).tobytes(), dtype=np.uint8
+    ).astype(np.float32)
+    width = int(h[:4].sum()) % 1920 + 16
+    height = int(h[4:8].sum()) % 1080 + 16
+    feat = h[:FEATURE_DIM * 4].reshape(FEATURE_DIM, 4).mean(axis=1) / 255.0
+    return width, height, feat
+
+
+def decode_media(df: DataFrame, id_col: str = "media_id",
+                 payload_col: str = "payload",
+                 type_col: str | None = None) -> DataFrame:
+    """binary payloads -> typed metadata + feature vectors.
+
+    ``mapInPandas`` iterator form: one Arrow batch in flight per task,
+    constant memory regardless of partition size — the correct shape for
+    multi-MB media rows (never ``collect_list`` or per-row Python UDFs).
+    """
+    cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for b in batches:
+            out = []
+            for _, row in b.iterrows():
+                payload = row[payload_col] or b""
+                w, h, feat = _decode_stub(bytes(payload))
+                out.append({
+                    "media_id": row[id_col],
+                    "media_type": row[type_col] if type_col else "image",
+                    "n_bytes": len(payload),
+                    "payload_sha": hashlib.sha256(bytes(payload)).hexdigest(),
+                    "width": w,
+                    "height": h,
+                    "feature": feat.tolist(),
+                })
+            yield pd.DataFrame(out, columns=[f.name for f in MEDIA_META_SCHEMA])
+
+    _ = cols
+    return df.mapInPandas(run, schema=MEDIA_META_SCHEMA)
+
+
+def media_exact_dups(meta: DataFrame) -> DataFrame:
+    """Exact media dedup on payload hash — same A1 shape as text."""
+    return (
+        meta.groupBy("payload_sha")
+        .agg(F.count(F.lit(1)).alias("n_members"),
+             F.min("media_id").alias("min_id"))
+        .filter(F.col("n_members") > 1)
+    )

@@ -1,0 +1,172 @@
+"""SimHash fingerprints + bit-sampling LSH band join + Hamming verify.
+
+Reference semantics: 64-bit text SimHash (``simhash.cpp:82-122``) indexed
+into 8 hash tables, candidates gathered by scanning *every* bucket of every
+table and keeping buckets within the Hamming ball (``simhash.cpp:229-247``)
+— an O(#buckets) probe per query that cannot scale.  The graft replaces the
+scan with key-expansion equi-joins that have **provably equal-or-better
+recall** (SURVEY §2.3 J2):
+
+- ``scheme='single'`` — split the 64-bit fingerprint into B=8 disjoint 8-bit
+  blocks, one table per block.  If two fingerprints differ in <= 5 bits, the
+  differing bits touch <= 5 blocks, so >= 3 blocks are identical and the pair
+  collides in >= 1 table (pigeonhole; B > k).  Recall 1.0.  Keyspace per
+  table is 2^8, so candidate volume grows ~n^2/256 — fine to ~1M docs,
+  wrong at web scale.
+
+- ``scheme='combo'`` — Manku et al. (WWW'07 "Detecting Near-Duplicates for
+  Web Crawling") style block combinations: one table per C(8,3)=56 choice of
+  3 blocks, key = the 24 concatenated bits.  A pair within Hamming 5 has its
+  differing bits inside <= 5 blocks, so some 3-block combination avoids all
+  of them -> collides on that table.  Recall 1.0 with a 2^24 keyspace:
+  at 10^12 docs each table bucket holds ~n/2^24 docs, candidate volume is
+  ~56 * n^2 / 2^24 ~ 3.3e-6 * n^2 — 13,000x fewer candidates per table pair
+  than 'single'.  This is the 100 TB path.
+
+Hot buckets (boilerplate pages collapsing to one fingerprint region) are
+handled upstream by fingerprint-dedup (``simhash_edges``) and by the bucket
+cap, the analog of the reference's ``max_candidates`` (``simhash.cpp:243-245``).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from webdedup.config import DedupConfig, DEFAULT
+from webdedup.functions.signatures import simhash64_col
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """(id, simhash:long) — one Arrow-batched UDF projection, no shuffle."""
+    return df.select(F.col(id_col).alias("id"),
+                     simhash64_col(F.col(text_col)).alias("simhash"))
+
+
+def _block(sig, i: int, width: int):
+    """Unsigned extraction of block i (low-to-high) of `width` bits."""
+    return F.shiftrightunsigned(sig, i * width).bitwiseAND(F.lit((1 << width) - 1))
+
+
+def simhash_bands(sigs: DataFrame, cfg: DedupConfig = DEFAULT,
+                  scheme: str = "single") -> DataFrame:
+    """(id, simhash, table_id, band_key) — the exploded LSH 'index'.
+
+    The reference's in-memory ``std::vector<std::map<uint64,vector<int>>>``
+    (``simhash.cpp:362``) disappears: a bucket is just a group of this frame.
+    """
+    width = cfg.simhash_bits // cfg.simhash_bands
+    blocks = [_block(F.col("simhash"), i, width) for i in range(cfg.simhash_bands)]
+    if scheme == "single":
+        keys = [(t, blocks[t]) for t in range(cfg.simhash_bands)]
+    elif scheme == "combo":
+        n_keep = cfg.simhash_bands - cfg.hamming_threshold  # 3 blocks kept
+        keys = []
+        for t, combo in enumerate(combinations(range(cfg.simhash_bands), n_keep)):
+            key = F.lit(0).cast("long")
+            for j, bi in enumerate(combo):
+                key = key.bitwiseOR(F.shiftleft(blocks[bi], j * width))
+            keys.append((t, key))
+    else:
+        raise ValueError(scheme)
+    pairs = F.array(*[
+        F.struct(F.lit(t).alias("table_id"), k.cast("long").alias("band_key"))
+        for t, k in keys
+    ])
+    return (
+        sigs.select("id", "simhash", F.explode(pairs).alias("tb"))
+        .select("id", "simhash", "tb.table_id", "tb.band_key")
+    )
+
+
+def cap_buckets(bands: DataFrame, max_bucket: int,
+                id_order: str = "id") -> tuple[DataFrame, DataFrame]:
+    """Split the band table into (kept, quarantined-overflow).
+
+    Keeps the first ``max_bucket`` members (by id) of each bucket and routes
+    the rest to a quarantine frame — the distributed analog of the
+    reference's candidate cap (``simhash.cpp:243-245``), but lossless: the
+    overflow is reported, not silently dropped (north_rule: no silent caps).
+    """
+    w = Window.partitionBy("table_id", "band_key").orderBy(id_order)
+    ranked = bands.withColumn("_rk", F.row_number().over(w))
+    kept = ranked.filter(F.col("_rk") <= max_bucket).drop("_rk")
+    overflow = ranked.filter(F.col("_rk") > max_bucket).drop("_rk")
+    return kept, overflow
+
+
+def band_candidates(bands: DataFrame) -> DataFrame:
+    """distinct (a, b) id pairs (a < b) colliding in >= 1 table.
+
+    Shuffle equi-join on (table_id, band_key); AQE skew-join handles residual
+    hot buckets.  The distinct collapses multi-table duplicates before the
+    (cheap) verify — candidate dedup A7 in SURVEY §2.4.
+    """
+    left = bands.select(F.col("id").alias("a"), "table_id", "band_key")
+    right = bands.select(F.col("id").alias("b"), "table_id", "band_key")
+    return (
+        left.join(right, ["table_id", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def hamming_verify(cands: DataFrame, sigs: DataFrame,
+                   threshold: int) -> DataFrame:
+    """Exact Hamming on candidates: (a, b, hamming) with hamming <= threshold.
+
+    Pure Catalyst — ``bit_count(a XOR b)`` stays in WholeStageCodegen
+    (reference: popcount intrinsic, ``simhash.cpp:17-28``).
+    """
+    sa = sigs.select(F.col("id").alias("a"), F.col("simhash").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("b"), F.col("simhash").alias("sig_b"))
+    return (
+        cands.join(sa, "a").join(sb, "b")
+        .withColumn("hamming",
+                    F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= threshold)
+        .select("a", "b", "hamming")
+    )
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", cfg: DedupConfig = DEFAULT,
+                  scheme: str = "single") -> DataFrame:
+    """Full exact result: ALL pairs within Hamming <= threshold.
+
+    Because both band schemes have recall 1.0 inside the Hamming ball, this
+    equals the brute-force O(n^2) join — which is exactly what the DuckDB
+    oracle computes (see ``__spark_entry__``)."""
+    sigs = simhash_fingerprints(df, id_col, text_col)
+    cands = band_candidates(simhash_bands(sigs, cfg, scheme))
+    return hamming_verify(cands, sigs, cfg.hamming_threshold)
+
+
+def simhash_edges(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", cfg: DedupConfig = DEFAULT,
+                  scheme: str = "combo") -> tuple[DataFrame, DataFrame]:
+    """Scale path for the pipeline: returns (edges, overflow_quarantine).
+
+    Docs are first collapsed to *distinct fingerprints* (exact clones and
+    identical-fingerprint docs form star edges directly — the boilerplate
+    hot group contributes ONE representative to the LSH join instead of
+    millions of rows), then LSH runs over fingerprint representatives with
+    bucket capping.  Edge set is equivalent for connected components.
+    """
+    sigs = simhash_fingerprints(df, id_col, text_col)
+    w = Window.partitionBy("simhash")
+    tagged = sigs.withColumn("rep", F.min("id").over(w))
+    clone_edges = (
+        tagged.filter(F.col("id") != F.col("rep"))
+        .select(F.col("rep").alias("a"), F.col("id").alias("b"))
+    )
+    reps = tagged.filter(F.col("id") == F.col("rep")).select("id", "simhash")
+    bands = simhash_bands(reps, cfg, scheme)
+    kept, overflow = cap_buckets(bands, cfg.max_bucket_size)
+    rep_pairs = hamming_verify(band_candidates(kept), reps,
+                               cfg.hamming_threshold).select("a", "b")
+    return clone_edges.unionByName(rep_pairs), overflow

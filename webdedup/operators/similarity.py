@@ -1,0 +1,144 @@
+"""Embedding similarity search: brute-force cosine top-k / threshold pairs,
+and a hyperplane-LSH-bucketed approximate variant for scale.
+
+The reference's analog is FAISS ``IndexFlatL2.search`` (``faiss_search.py:
+41-45``) and the C++ SimHashLSH vector index (``simhash.cpp:149-341``).
+Spark-first shapes:
+
+- brute-force: block-nested-loop join with the smaller side broadcast,
+  cosine as a pure Catalyst ``zip_with``/``aggregate`` expression (double
+  math, deterministic), then a ranking window for top-k.  This is the
+  oracle-checked baseline — O(n^2) but exact.
+- LSH-bucketed: seeded random-hyperplane signature (``vector_simhash_udf``)
+  -> bucket by signature prefix bands -> cosine only within buckets.  The
+  scale path: candidate volume drops by ~2^bits/band factor.
+
+Scores are rounded to 6 decimals (both engines compute in float64; rounding
+removes last-ulp associativity noise from the cross-engine value-hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from webdedup.config import DedupConfig, DEFAULT
+from webdedup.functions.signatures import vector_simhash_udf
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding",
+              out_col: str = "norm") -> DataFrame:
+    return df.withColumn(out_col, F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
+
+
+def cosine_pairs(df: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 threshold: float = 0.9) -> DataFrame:
+    """(a, b, cosine) for all pairs with cosine >= threshold — exact.
+
+    Embedding-cosine near-dup detection; broadcast the right side when it
+    fits (Catalyst chooses BroadcastNestedLoopJoin for the cross join)."""
+    v = with_norm(df.select(F.col(id_col).alias("id"),
+                            F.col(vec_col).alias("vec")), "vec")
+    a = v.select(F.col("id").alias("a"), F.col("vec").alias("va"),
+                 F.col("norm").alias("na"))
+    b = v.select(F.col("id").alias("b"), F.col("vec").alias("vb"),
+                 F.col("norm").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def cosine_topk(queries: DataFrame, corpus: DataFrame | None = None,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                k: int = 10) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank) — exact top-k by cosine.
+
+    Rank orders by (rounded cosine desc, neighbor_id asc): fully
+    deterministic and reproducible across engines.  Self-matches excluded.
+    """
+    if corpus is None:
+        corpus = queries
+    q = with_norm(queries.select(F.col(id_col).alias("query_id"),
+                                 F.col(vec_col).alias("qv")), "qv", ).withColumnRenamed("norm", "qn")
+    c = with_norm(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                F.col(vec_col).alias("cv")), "cv").withColumnRenamed("norm", "cn")
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        q.crossJoin(F.broadcast(c))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     threshold: float = 0.9,
+                     cfg: DedupConfig = DEFAULT,
+                     bands: int = 4) -> DataFrame:
+    """Approximate cosine near-dup pairs: hyperplane signature -> band
+    buckets -> exact cosine within buckets.
+
+    With ``hyperplane_bits=16`` and 4 bands of 4 bits, a pair at angle θ
+    collides on a band with prob (1-θ/π)^4; at cosine 0.9 (θ≈26°) ≈ 0.53
+    per band → ≈ 0.95 for ≥1 of 4 bands.  The 2^16-signature space prunes
+    the cross join by ~band-bucket factor — the scale path for ANN dedup.
+    """
+    sig = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+                    vector_simhash_udf(cfg)(F.col(vec_col)).alias("sig"))
+    width = cfg.hyperplane_bits // bands
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(t).alias("band_id"),
+            F.shiftrightunsigned(F.col("sig"), t * width)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("band_key"),
+        )
+        for t in range(bands)
+    ])
+    banded = sig.select("id", "vec", F.explode(band_arr).alias("tb")) \
+                .select("id", "vec", "tb.band_id", "tb.band_key")
+    left = banded.select(F.col("id").alias("a"), F.col("vec").alias("va"),
+                         "band_id", "band_key")
+    right = banded.select(F.col("id").alias("b"), F.col("vec").alias("vb"),
+                          "band_id", "band_key")
+    cands = (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "va", "b", "vb")
+        .dropDuplicates(["a", "b"])
+    )
+    na = F.sqrt(_dot(F.col("va"), F.col("va")))
+    nb = F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    cos = _dot(F.col("va"), F.col("vb")) / (na * nb)
+    return (
+        cands.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def vector_signatures(df: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      cfg: DedupConfig = DEFAULT) -> DataFrame:
+    """(vec_id, sig) — seeded hyperplane SimHash of each embedding
+    (``simhash.cpp:373-391`` semantics); self-similar vectors share sigs."""
+    return df.select(F.col(id_col).alias("vec_id"),
+                     vector_simhash_udf(cfg)(F.col(vec_col)).alias("sig"))

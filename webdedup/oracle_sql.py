@@ -1,0 +1,371 @@
+"""DuckDB oracle SQL generators — the ANSI-SQL twins of every oracle-checked
+Spark query in ``__spark_entry__``.
+
+Each generator returns DuckDB SQL computing bit-identical values to the
+corresponding Spark operator, because both sides derive every hash from md5
+(``webdedup.functions.hashing``) and round every float to 6 decimals.  The
+driver runs these side-by-side with the Spark queries and compares
+row-count + schema + order-insensitive value hashes.
+
+Brute-force shapes (O(n^2) self-joins, recursive CTEs) are FINE here: the
+oracle runs at sf=0.01 only.  The Spark side uses the scalable plans; the
+whole point is that LSH band joins etc. provably equal brute force at the
+configured thresholds.
+"""
+
+from __future__ import annotations
+
+from webdedup.config import DedupConfig, DEFAULT
+from webdedup.functions.hashing import minhash_perms, MERSENNE61
+from webdedup.operators.textstats import LANG_MARKERS, STOPWORDS
+
+TOKS_CTE = r"""
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS tok
+  FROM documents
+)"""
+
+TOKLIST_CTE = r"""
+toklist AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+  FROM documents
+)"""
+
+
+def _simhash_ctes() -> str:
+    """CTE chain computing sim(doc_id, simhash) for every document."""
+    return r"""
+tf AS (SELECT doc_id, tok, count(*)::BIGINT AS cnt FROM toks GROUP BY 1, 2),
+th AS (
+  SELECT doc_id, cnt,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+  FROM tf
+),
+bits AS (
+  SELECT doc_id, i,
+         sum(cnt * (2 * (CASE WHEN i < 32 THEN (lo >> i) & 1
+                              ELSE (hi >> (i - 32)) & 1 END) - 1)) AS vote
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS i) GROUP BY 1, 2
+),
+packed AS (
+  SELECT doc_id,
+         sum(CASE WHEN i < 32 AND vote > 0 THEN 1::BIGINT << i ELSE 0 END) AS lo32,
+         sum(CASE WHEN i >= 32 AND vote > 0 THEN 1::BIGINT << (i - 32) ELSE 0 END) AS hi32
+  FROM bits GROUP BY 1
+),
+sim AS (
+  SELECT d.doc_id,
+         COALESCE((CASE WHEN p.hi32 >= 2147483648 THEN p.hi32 - 4294967296
+                        ELSE p.hi32 END) * 4294967296 + p.lo32, 0)::BIGINT AS simhash
+  FROM documents d LEFT JOIN packed p USING (doc_id)
+)"""
+
+
+def _shingle_ctes(k: int) -> str:
+    """CTE chain computing sh(doc_id, sh) = distinct 60-bit shingle hashes."""
+    return f"""
+shing AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {k}
+              THEN [array_to_string(toks[i:i+{k - 1}], ' ')
+                    for i in range(1, len(toks) - {k - 1} + 1)]
+              WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+              ELSE [] END AS shingles
+  FROM toklist
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS sh
+  FROM shing
+)"""
+
+
+def exact_dup_groups() -> str:
+    return """
+SELECT sha256(text) AS content_sha,
+       count(*)::BIGINT AS n_members,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def content_hashes() -> str:
+    return "SELECT doc_id, sha256(text) AS content_sha FROM documents"
+
+
+def token_stats() -> str:
+    return f"""
+WITH {TOKLIST_CTE.strip()}
+SELECT doc_id,
+       len(toks)::INT AS n_tokens,
+       len(list_distinct(toks))::INT AS n_unique_tokens,
+       round(CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)
+                  ELSE 0.0 END, 6) AS avg_token_len
+FROM toklist
+"""
+
+
+def quality_scores() -> str:
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH {TOKLIST_CTE.strip()},
+q AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         len(toks) AS n_tok,
+         len(list_distinct(toks)) AS uniq,
+         len(list_filter(toks, t -> list_contains([{stop}], t))) AS n_stop
+  FROM toklist JOIN documents USING (doc_id)
+)
+SELECT doc_id,
+       n_chars::BIGINT AS n_chars,
+       n_tok::INT AS n_tokens,
+       round(CASE WHEN n_tok > 0 THEN n_stop::DOUBLE / n_tok ELSE 0.0 END, 6) AS stopword_ratio,
+       round(CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN n_tok > 0 THEN uniq::DOUBLE / n_tok ELSE 0.0 END, 6) AS uniq_ratio,
+       round(least(n_tok::DOUBLE / 100.0, 1.0) * 0.4
+             + least((CASE WHEN n_tok > 0 THEN n_stop::DOUBLE / n_tok ELSE 0.0 END) * 5.0, 1.0) * 0.3
+             + (CASE WHEN n_tok > 0 THEN uniq::DOUBLE / n_tok ELSE 0.0 END) * 0.3, 6) AS quality
+FROM q
+"""
+
+
+def lang_id() -> str:
+    cases = []
+    for lang in sorted(LANG_MARKERS):
+        markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        cases.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_filter(toks, t -> list_contains([{markers}], t)))::BIGINT AS hits "
+            f"FROM toklist"
+        )
+    union = " UNION ALL ".join(cases)
+    return f"""
+WITH {TOKLIST_CTE.strip()},
+scores AS ({union}),
+best AS (
+  SELECT doc_id, max(hits) AS top_hits FROM scores GROUP BY 1
+)
+SELECT b.doc_id,
+       CASE WHEN b.top_hits > 0
+            THEN (SELECT min(s.lang) FROM scores s
+                  WHERE s.doc_id = b.doc_id AND s.hits = b.top_hits)
+            ELSE 'und' END AS pred_lang,
+       b.top_hits AS lang_score
+FROM best b
+"""
+
+
+def doc_fingerprint() -> str:
+    return f"""
+WITH {TOKLIST_CTE.strip()}
+SELECT doc_id,
+       ('0x' || substr(md5(array_to_string(toks, ' ')), 1, 15))::BIGINT AS fingerprint
+FROM toklist
+"""
+
+
+def simhash64() -> str:
+    return f"WITH {TOKS_CTE.strip()},{_simhash_ctes()}\nSELECT doc_id, simhash FROM sim"
+
+
+def simhash_pairs(threshold: int) -> str:
+    """Brute-force Hamming join — what the Spark band-LSH provably equals."""
+    return f"""
+WITH {TOKS_CTE.strip()},{_simhash_ctes()}
+SELECT a.doc_id AS a, b.doc_id AS b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {threshold}
+"""
+
+
+def shingle_stats(k: int) -> str:
+    return f"""
+WITH {TOKLIST_CTE.strip()},{_shingle_ctes(k)}
+SELECT d.doc_id, COALESCE(c.n_shingles, 0)::INT AS n_shingles
+FROM documents d
+LEFT JOIN (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1) c
+  USING (doc_id)
+"""
+
+
+def jaccard_pairs(k: int, threshold: float) -> str:
+    return f"""
+WITH {TOKLIST_CTE.strip()},{_shingle_ctes(k)},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b,
+       round(i.i::DOUBLE / (sa.sz + sb.sz - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.i::DOUBLE / (sa.sz + sb.sz - i.i) >= {threshold}
+"""
+
+
+def minhash_sig_long(cfg: DedupConfig = DEFAULT) -> str:
+    """Exploded minhash signature (doc_id, perm_id, sig_value)."""
+    a, b = minhash_perms(cfg.minhash_perms, cfg.seed)
+    perm_rows = ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(cfg.minhash_perms)
+    )
+    k = cfg.shingle_k
+    return f"""
+WITH {TOKLIST_CTE.strip()},
+shing AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {k}
+              THEN [array_to_string(toks[i:i+{k - 1}], ' ')
+                    for i in range(1, len(toks) - {k - 1} + 1)]
+              WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+              ELSE [] END AS shingles
+  FROM toklist
+),
+sh32 AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(unnest(shingles)), 1, 8))::BIGINT AS h
+  FROM shing
+),
+perms(perm_id, a, b) AS (VALUES {perm_rows}),
+mins AS (
+  SELECT s.doc_id, p.perm_id,
+         min(((p.a::HUGEINT * s.h + p.b) % {MERSENNE61})::BIGINT) AS sig_value
+  FROM sh32 s CROSS JOIN perms p
+  GROUP BY 1, 2
+)
+SELECT d.doc_id, p.perm_id,
+       COALESCE(m.sig_value, {MERSENNE61}) AS sig_value
+FROM documents d CROSS JOIN perms p
+LEFT JOIN mins m ON m.doc_id = d.doc_id AND m.perm_id = p.perm_id
+"""
+
+
+def substring_pairs(cfg: DedupConfig = DEFAULT, min_anchors: int = 2) -> str:
+    K = cfg.anchor_tokens
+    return f"""
+WITH {TOKLIST_CTE.strip()},
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {K}
+              THEN [array_to_string(toks[i:i+{K - 1}], ' ')
+                    for i in range(1, len(toks) - {K - 1} + 1)]
+              WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+              ELSE [] END AS gs
+  FROM toklist
+),
+anchors AS (
+  SELECT DISTINCT doc_id, h AS anchor FROM (
+    SELECT doc_id, ('0x' || substr(md5(unnest(gs)), 1, 15))::BIGINT AS h
+    FROM grams
+  ) WHERE h % {cfg.anchor_mod} = 0
+)
+SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS n_shared
+FROM anchors a JOIN anchors b ON a.anchor = b.anchor AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {min_anchors}
+"""
+
+
+def cluster_assignments(cfg: DedupConfig = DEFAULT) -> str:
+    """CC over (exact ∪ simhash<=thr ∪ jaccard>=thr) edges via iterative
+    min-label recursive CTE; cluster_id = component-min doc_id."""
+    k, jt, ht = cfg.shingle_k, cfg.jaccard_threshold, cfg.hamming_threshold
+    return f"""
+WITH RECURSIVE {TOKS_CTE.strip()},{TOKLIST_CTE.strip()},{_simhash_ctes()},{_shingle_ctes(k)},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+jacc AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*)::DOUBLE / ((SELECT sz FROM sizes WHERE doc_id = a.doc_id)
+         + (SELECT sz FROM sizes WHERE doc_id = b.doc_id) - count(*)) >= {jt}
+),
+hamm AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {ht}
+),
+exact AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM documents a JOIN documents b
+    ON sha256(a.text) = sha256(b.text) AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT a, b FROM jacc UNION SELECT a, b FROM hamm UNION SELECT a, b FROM exact
+),
+sym AS (
+  SELECT a AS u, b AS v FROM edges UNION SELECT b AS u, a AS v FROM edges
+),
+walk(u, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.u, w.label FROM walk w JOIN sym s ON s.v = w.u
+  WHERE w.label < s.u
+)
+SELECT u AS doc_id, min(label) AS cluster_id FROM walk GROUP BY 1
+"""
+
+
+def representatives(cfg: DedupConfig = DEFAULT) -> str:
+    return f"""
+WITH assignments AS ({cluster_assignments(cfg)})
+SELECT cluster_id, representative_id, score FROM (
+  SELECT a.cluster_id, d.doc_id AS representative_id, d.n_chars AS score,
+         row_number() OVER (PARTITION BY a.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+  FROM assignments a JOIN documents d USING (doc_id)
+) WHERE rk = 1
+"""
+
+
+def cosine_topk(k: int) -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS vec
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, vec,
+         sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+  FROM v
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_sum(list_transform(range(len(a.vec)), i -> a.vec[i+1] * b.vec[i+1]))
+               / (a.nrm * b.nrm), 6) AS cosine
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank::INT AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= {k}
+"""
+
+
+def cosine_pairs(threshold: float) -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings
+),
+n AS (
+  SELECT vec_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm FROM v
+)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_sum(list_transform(range(len(a.vec)), i -> a.vec[i+1] * b.vec[i+1]))
+             / (a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(range(len(a.vec)), i -> a.vec[i+1] * b.vec[i+1]))
+            / (a.nrm * b.nrm), 6) >= {threshold}
+"""

@@ -1,0 +1,70 @@
+"""Streaming ingest: crawl feed -> deduped signature tables.
+
+Pattern: ``readStream`` on a directory of parquet drops (stand-in for
+Kafka/Kinesis in the sandbox) -> extraction + signature projection (the
+same Arrow UDFs as batch — pure per-row projections lift to streams
+unchanged) -> watermarked exact-dup suppression -> append sink.
+
+Near-dup LSH joins and connected components stay BATCH: they are global
+fixpoint computations; the streaming layer's job is to land deduplicated,
+signature-enriched micro-batches that the periodic batch pipeline clusters
+(the standard lambda shape for web-scale dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from webdedup.config import DedupConfig, DEFAULT
+from webdedup.functions.extract import extract_text_udf
+from webdedup.functions.signatures import simhash64_udf
+from webdedup.sources.corpus import WEB_PAGES_SCHEMA
+
+
+def read_page_stream(spark: SparkSession, input_dir: str,
+                     max_files_per_trigger: int = 4) -> DataFrame:
+    return (
+        spark.readStream.schema(WEB_PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def enrich_stream(pages: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+    """html -> text -> content hash + simhash, streaming-safe projections."""
+    text = (F.col("text") if "text" in pages.columns
+            else extract_text_udf()(F.col("html")))
+    return (
+        pages.withColumn("text", text)
+        .drop("html")
+        .withColumn("content_sha", F.sha2(F.col("text"), 256))
+        .withColumn("simhash", simhash64_udf()(F.col("text")))
+    )
+
+
+def dedup_stream(enriched: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Suppress exact duplicates within the watermark window.
+
+    ``dropDuplicates`` on a streaming frame keeps per-key state; the
+    watermark bounds that state (late pages beyond it are dropped) — this is
+    the streaming analog of the exact-dedup hash-agg A1.
+    """
+    return (
+        enriched.withWatermark("warc_ts", watermark)
+        .dropDuplicates(["content_sha"])
+    )
+
+
+def write_signature_stream(deduped: DataFrame, out_dir: str,
+                           checkpoint_dir: str, once: bool = True):
+    """Append sink + checkpoint dir => exactly-once, resumable ingestion."""
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if once:
+        return writer.trigger(availableNow=True).start()
+    return writer.trigger(processingTime="10 seconds").start()
