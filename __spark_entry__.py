@@ -134,13 +134,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- embedding similarity ---
     q["cosine_topk"] = lambda s, d: similarity.cosine_topk(
         _emb(s, d), k=CFG.topk)
+    # threshold 0.3: the gaussian test embeddings have no pairs above ~0.48,
+    # so the config default (0.9) would make this check vacuous
     q["cosine_dup_pairs"] = lambda s, d: similarity.cosine_pairs(
-        _emb(s, d), threshold=CFG.cosine_threshold)
+        _emb(s, d), threshold=0.3)
     # seeded hyperplane LSH — no SQL oracle (driver rows-only check)
     q["vector_signatures"] = lambda s, d: similarity.vector_signatures(
         _emb(s, d), cfg=CFG)
     q["lsh_cosine_pairs"] = lambda s, d: similarity.lsh_cosine_pairs(
-        _emb(s, d), threshold=CFG.cosine_threshold, cfg=CFG)
+        _emb(s, d), threshold=0.3, cfg=CFG)
 
     return q
 
@@ -164,6 +166,6 @@ def oracle_sql() -> dict[str, str]:
         "cluster_assignments": oracle_sql_mod.cluster_assignments(CFG),
         "representatives": oracle_sql_mod.representatives(CFG),
         "cosine_topk": oracle_sql_mod.cosine_topk(CFG.topk),
-        "cosine_dup_pairs": oracle_sql_mod.cosine_pairs(CFG.cosine_threshold),
+        "cosine_dup_pairs": oracle_sql_mod.cosine_pairs(0.3),
     }
 

@@ -1,0 +1,98 @@
+"""End-to-end: the north_rule recall gate + checkpoint-resume + extraction
+invariant + representative selection."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from webdedup import oracle
+from webdedup.config import DEFAULT as CFG
+from webdedup.functions.extract import with_extracted_text
+from webdedup.plans import checkpoint, pipeline
+
+
+def _partitions(d: dict) -> set[frozenset]:
+    g = defaultdict(set)
+    for k, v in d.items():
+        g[v].add(k)
+    return {frozenset(s) for s in g.values() if len(s) > 1}
+
+
+@pytest.fixture(scope="module")
+def work_dir():
+    d = tempfile.mkdtemp(prefix="webdedup_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def result(pages, work_dir):
+    return pipeline.run(pages, work_dir, cfg=CFG, resume=True)
+
+
+def test_recall_gate(result, corpus_texts):
+    """Dup-pair recall >= 0.99 vs the reference-semantics oracle (north_rule).
+    In practice the pipeline reproduces the oracle partition exactly."""
+    got = {r["id"]: r["cluster_id"] for r in result.assignments.collect()}
+    exp = oracle.union_find_clusters(
+        sorted(corpus_texts), oracle.all_matcher_pairs(corpus_texts, CFG))
+
+    def pair_set(parts):
+        out = set()
+        for s in parts:
+            ms = sorted(s)
+            out.update((ms[i], ms[j]) for i in range(len(ms))
+                       for j in range(i + 1, len(ms)))
+        return out
+
+    exp_pairs = pair_set(_partitions(exp))
+    got_pairs = pair_set(_partitions(got))
+    tp = len(exp_pairs & got_pairs)
+    recall = tp / len(exp_pairs)
+    precision = tp / len(got_pairs)
+    assert recall >= 0.99, f"recall {recall:.4f}"
+    assert precision >= 0.95, f"precision {precision:.4f}"
+
+
+def test_resume_skips_and_reproduces(pages, work_dir, result):
+    """Re-run with resume: stage tables are read back, same assignments."""
+    r2 = pipeline.run(pages, work_dir, cfg=CFG, resume=True)
+    a1 = sorted((r["id"], r["cluster_id"]) for r in result.assignments.collect())
+    a2 = sorted((r["id"], r["cluster_id"]) for r in r2.assignments.collect())
+    assert a1 == a2
+    assert checkpoint.exists(work_dir, "assignments")
+
+
+def test_representatives_deterministic(result):
+    reps = {r["cluster_id"]: r["representative_id"]
+            for r in result.representatives.collect()}
+    sizes = {r["cluster_id"]: r["n_members"]
+             for r in result.cluster_sizes.collect()}
+    assert set(reps) == set(sizes)
+    assert all(n >= 1 for n in sizes.values())
+
+
+def test_extraction_invariant(pages):
+    """Byte-identical extracted text per url (input_hint) — rerun twice."""
+    ext1 = with_extracted_text(
+        pages.select("url", "html"), out_col="t1")
+    ext2 = with_extracted_text(
+        pages.select("url", "html").repartition(13), out_col="t2")
+    j = (ext1.join(ext2, "url")
+         .join(pages.select("url", "text"), "url"))
+    bad = j.filter(
+        (F.col("t1") != F.col("t2")) | (F.col("t1") != F.col("text"))).count()
+    assert bad == 0
+
+
+def test_boilerplate_hot_group_clustered(result):
+    """The 40-page boilerplate group must form one cluster (hot-bucket path)."""
+    boiler = result.assignments.filter(
+        F.col("id").startswith("https://example.org/g000000/"))
+    n_clusters = boiler.select("cluster_id").distinct().count()
+    assert n_clusters == 1

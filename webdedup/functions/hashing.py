@@ -22,7 +22,6 @@ portable replacement (SURVEY §2.8).
 from __future__ import annotations
 
 import hashlib
-from functools import lru_cache
 
 import numpy as np
 from pyspark.sql import Column
@@ -38,13 +37,18 @@ PERM_A_BITS = 31
 # Python / numpy
 # ---------------------------------------------------------------------------
 
-@lru_cache(maxsize=1 << 20)
+# NOTE: deliberately NO lru_cache on these.  Shingle/anchor inputs are
+# mostly unique at scale, so a big global cache degenerates into pure
+# eviction churn — and because Spark REUSES python workers across stages,
+# a full cache poisons every later UDF stage in the session (measured 2-7x
+# progressive slowdown).  Token-level caching, where the vocabulary is
+# naturally small, is done with bounded per-batch dicts inside the UDFs.
+
 def h60_py(s: str) -> int:
     """60-bit md5-derived hash (first 15 hex chars)."""
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
 
-@lru_cache(maxsize=1 << 20)
 def h64_split_py(s: str) -> tuple[int, int]:
     """(hi32, lo32): first/second 8 hex chars of md5 — a portable 64-bit hash
     delivered as two 32-bit halves so SQL engines never overflow."""
@@ -52,7 +56,6 @@ def h64_split_py(s: str) -> tuple[int, int]:
     return int(d[:8], 16), int(d[8:16], 16)
 
 
-@lru_cache(maxsize=1 << 20)
 def h32_py(s: str) -> int:
     """32-bit md5-derived hash (first 8 hex chars)."""
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)

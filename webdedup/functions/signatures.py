@@ -34,19 +34,27 @@ from webdedup.functions.tokenize import shingles_py, tokenize_py
 _BITPOS = np.arange(64, dtype=np.uint64)
 
 
-def _simhash_of_text(text: str) -> int:
-    """64-bit SimHash of one document (term-frequency weighted bit vote)."""
+def _simhash_of_text(text: str, cache: dict | None = None) -> int:
+    """64-bit SimHash of one document (term-frequency weighted bit vote).
+
+    ``cache`` is an optional token->uint64 dict shared across one Arrow
+    batch — word vocabularies repeat heavily within a batch, and a
+    batch-scoped dict cannot poison reused workers the way a global
+    lru_cache does (see hashing.py note)."""
     counts = Counter(tokenize_py(text))
     if not counts:
         return 0
-    toks = list(counts.keys())
-    w = np.fromiter(counts.values(), dtype=np.int64, count=len(toks))
-    hi = np.empty(len(toks), dtype=np.uint64)
-    lo = np.empty(len(toks), dtype=np.uint64)
-    for j, t in enumerate(toks):
-        a, b = hashing.h64_split_py(t)
-        hi[j], lo[j] = a, b
-    h = (hi << np.uint64(32)) | lo                       # uint64 token hashes
+    if cache is None:
+        cache = {}
+    h = np.empty(len(counts), dtype=np.uint64)
+    w = np.empty(len(counts), dtype=np.int64)
+    for j, (t, c) in enumerate(counts.items()):
+        v = cache.get(t)
+        if v is None:
+            a, b = hashing.h64_split_py(t)
+            v = (a << 32) | b
+            cache[t] = v
+        h[j], w[j] = v, c
     bits = ((h[:, None] >> _BITPOS) & np.uint64(1)).astype(np.int64)
     votes = ((2 * bits - 1) * w[:, None]).sum(axis=0)    # per-bit signed vote
     fp = np.uint64(0)
@@ -61,7 +69,8 @@ def simhash64_udf() -> Column:
 
     @F.pandas_udf(LongType())
     def _udf(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: _simhash_of_text(t or ""))
+        cache: dict = {}
+        return texts.map(lambda t: _simhash_of_text(t or "", cache))
 
     return _udf
 
@@ -124,3 +133,86 @@ def vector_simhash_udf(cfg: DedupConfig = DEFAULT) -> Column:
         return pd.Series(packed)
 
     return _udf
+
+
+# ---------------------------------------------------------------------------
+# Fused signature pass (pipeline fast path)
+# ---------------------------------------------------------------------------
+
+def all_signatures(df, cfg: DedupConfig = DEFAULT,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """One ``mapInPandas`` pass computing EVERY per-doc signature:
+
+        (id, simhash:long, minhash:array<long>, shingles:array<long>,
+         anchors:array<long>)
+
+    Fusing matters twice at scale: (1) tokenization runs once per document
+    instead of once per signature kind; (2) the 5-gram md5 digest is shared
+    between the 60-bit shingle hash (chars [0:15]) and the 32-bit MinHash
+    input (chars [0:8]) — md5 work for the two heaviest signals is halved.
+    And operationally it is ONE stage (one scan, one Python roundtrip, one
+    write) where the naive pipeline paid four stage floors.
+
+    Output values are bit-identical to the individual operators
+    (the oracle/equivalence tests compare them directly).
+    """
+    import hashlib
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import (
+        ArrayType, LongType, StructField, StructType,
+    )
+
+    id_field = df.schema[id_col]
+    out_schema = StructType([
+        StructField("id", id_field.dataType),
+        StructField("simhash", LongType()),
+        StructField("minhash", ArrayType(LongType())),
+        StructField("shingles", ArrayType(LongType())),
+        StructField("anchors", ArrayType(LongType())),
+    ])
+
+    a, b = hashing.minhash_perms(cfg.minhash_perms, cfg.seed)
+    p = np.uint64(hashing.MERSENNE61)
+    empty_sig = [int(p)] * cfg.minhash_perms
+    K, mod, k = cfg.anchor_tokens, cfg.anchor_mod, cfg.shingle_k
+    md5 = hashlib.md5
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from webdedup.functions.tokenize import shingles_py
+
+        for batch in batches:
+            tok_cache: dict = {}
+            out = {"id": [], "simhash": [], "minhash": [],
+                   "shingles": [], "anchors": []}
+            for rid, text in zip(batch[id_col], batch[text_col]):
+                toks = (text or "").lower().split()
+                # --- simhash (token-level, batch-scoped hash cache) ---
+                sh = _simhash_of_text(" ".join(toks), tok_cache) if toks else 0
+                # --- shingles + minhash from ONE digest per 5-gram ---
+                sh60: dict[int, None] = {}
+                h32s: dict[int, None] = {}
+                for g in shingles_py(toks, k):
+                    d = md5(g.encode()).hexdigest()
+                    sh60[int(d[:15], 16)] = None
+                    h32s[int(d[:8], 16)] = None
+                if h32s:
+                    hs = np.fromiter(h32s, dtype=np.uint64, count=len(h32s))
+                    vals = (a[:, None] * hs[None, :] + b[:, None]) % p
+                    minsig = [int(v) for v in vals.min(axis=1)]
+                else:
+                    minsig = empty_sig
+                # --- anchors (16-gram winnowing sample) ---
+                anch: dict[int, None] = {}
+                for g in shingles_py(toks, K):
+                    h = int(md5(g.encode()).hexdigest()[:15], 16)
+                    if h % mod == 0:
+                        anch[h] = None
+                out["id"].append(rid)
+                out["simhash"].append(sh)
+                out["minhash"].append(minsig)
+                out["shingles"].append(list(sh60))
+                out["anchors"].append(list(anch))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)

@@ -83,14 +83,22 @@ def signature_jaccard(cands: DataFrame, sigs: DataFrame) -> DataFrame:
 def minhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", cfg: DedupConfig = DEFAULT,
                   threshold: float | None = None,
-                  cap: bool = False) -> DataFrame:
+                  cap: bool = False,
+                  sigs: DataFrame | None = None,
+                  sets: DataFrame | None = None) -> DataFrame:
     """(a, b, jaccard): banded LSH candidates verified by EXACT shingle
     Jaccard >= threshold.  ``cap=True`` applies the hot-bucket cap (scale
-    path; slightly lossy, overflow is quantified by the pipeline)."""
+    path; slightly lossy, overflow is quantified by the pipeline).
+
+    ``sigs``/``sets``: optional materialized signature / shingle-set tables
+    (stage tables in the pipeline) — without them the whole signature UDF
+    subtree is embedded in a self-join plan and executes once per join arm.
+    """
     t = cfg.minhash_threshold if threshold is None else threshold
-    sigs = minhash_signatures(df, id_col, text_col, cfg)
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col, cfg)
     bands = minhash_bands(sigs, cfg)
     if cap:
         bands, _ = cap_buckets(bands, cfg.max_bucket_size)
     cands = minhash_candidates(bands)
-    return jaccard_verify(cands, df, id_col, text_col, cfg, t)
+    return jaccard_verify(cands, df, id_col, text_col, cfg, t, sets=sets)

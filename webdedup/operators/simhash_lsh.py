@@ -91,6 +91,12 @@ def cap_buckets(bands: DataFrame, max_bucket: int,
     reference's candidate cap (``simhash.cpp:243-245``), but lossless: the
     overflow is reported, not silently dropped (north_rule: no silent caps).
     """
+    spark = bands.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # explicit repartition: the band table comes from an explode, whose
+    # size the planner underestimates — without this, AQE can coalesce the
+    # window shuffle to 1 partition and sort the whole table on one core
+    bands = bands.repartition(n_part, "table_id", "band_key")
     w = Window.partitionBy("table_id", "band_key").orderBy(id_order)
     ranked = bands.withColumn("_rk", F.row_number().over(w))
     kept = ranked.filter(F.col("_rk") <= max_bucket).drop("_rk")
@@ -146,9 +152,10 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     return hamming_verify(cands, sigs, cfg.hamming_threshold)
 
 
-def simhash_edges(df: DataFrame, id_col: str = "doc_id",
+def simhash_edges(df: DataFrame | None, id_col: str = "doc_id",
                   text_col: str = "text", cfg: DedupConfig = DEFAULT,
-                  scheme: str = "combo") -> tuple[DataFrame, DataFrame]:
+                  scheme: str = "combo",
+                  sigs: DataFrame | None = None) -> tuple[DataFrame, DataFrame]:
     """Scale path for the pipeline: returns (edges, overflow_quarantine).
 
     Docs are first collapsed to *distinct fingerprints* (exact clones and
@@ -156,8 +163,12 @@ def simhash_edges(df: DataFrame, id_col: str = "doc_id",
     hot group contributes ONE representative to the LSH join instead of
     millions of rows), then LSH runs over fingerprint representatives with
     bucket capping.  Edge set is equivalent for connected components.
+
+    ``sigs``: optional materialized (id, simhash) stage table; strongly
+    recommended — it keeps the signature UDF out of the self-join plan.
     """
-    sigs = simhash_fingerprints(df, id_col, text_col)
+    if sigs is None:
+        sigs = simhash_fingerprints(df, id_col, text_col)
     w = Window.partitionBy("simhash")
     tagged = sigs.withColumn("rep", F.min("id").over(w))
     clone_edges = (

@@ -27,22 +27,52 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import pandas as pd
+from pyspark.sql.types import ArrayType, LongType
+
 from webdedup.config import DedupConfig, DEFAULT
+from webdedup.functions.hashing import h60_py
+from webdedup.functions.tokenize import shingles_py, tokenize_py
 from webdedup.functions.hashing import h60_col
 from webdedup.functions.tokenize import shingles_col, tokens_col
 
 
 def anchor_index(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text",
-                 cfg: DedupConfig = DEFAULT) -> DataFrame:
-    """(id, anchor) — distinct sampled k-gram fingerprints per doc."""
-    grams = shingles_col(tokens_col(F.col(text_col)), cfg.anchor_tokens)
-    hashes = F.transform(grams, h60_col)
-    sampled = F.array_distinct(
-        F.filter(hashes, lambda h: h % cfg.anchor_mod == 0)
-    )
+                 cfg: DedupConfig = DEFAULT,
+                 use_udf: bool = True) -> DataFrame:
+    """(id, anchor) — distinct sampled k-gram fingerprints per doc.
+
+    UDF and Catalyst implementations produce bit-identical anchors (both
+    md5-derived); the UDF is the fast path (see jaccard.shingle_sets)."""
+    if not use_udf:
+        grams = shingles_col(tokens_col(F.col(text_col)), cfg.anchor_tokens)
+        hashes = F.transform(grams, h60_col)
+        sampled = F.array_distinct(
+            F.filter(hashes, lambda h: h % cfg.anchor_mod == 0)
+        )
+        return (
+            df.select(F.col(id_col).alias("id"), sampled.alias("anchors"))
+            .select("id", F.explode("anchors").alias("anchor"))
+        )
+
+    K, mod = cfg.anchor_tokens, cfg.anchor_mod
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _udf(texts: pd.Series) -> pd.Series:
+        def anchors(text: str) -> list[int]:
+            seen: dict[int, None] = {}
+            for g in shingles_py(tokenize_py(text or ""), K):
+                h = h60_py(g)
+                if h % mod == 0:
+                    seen[h] = None
+            return list(seen)
+
+        return texts.map(anchors)
+
     return (
-        df.select(F.col(id_col).alias("id"), sampled.alias("anchors"))
+        df.select(F.col(id_col).alias("id"),
+                  _udf(F.col(text_col)).alias("anchors"))
         .select("id", F.explode("anchors").alias("anchor"))
     )
 
@@ -57,11 +87,20 @@ def substring_pairs(df: DataFrame, id_col: str = "doc_id",
     (boilerplate runs) before the self-join — the scale path; the oracle
     query runs uncapped.
     """
-    idx = anchor_index(df, id_col, text_col, cfg)
+    return substring_pairs_from_index(
+        anchor_index(df, id_col, text_col, cfg), min_anchors, max_df)
+
+
+def substring_pairs_from_index(idx: DataFrame, min_anchors: int = 2,
+                               max_df: int | None = None) -> DataFrame:
+    """Pair join over a (materialized) anchor index — pipeline stage form."""
     if max_df is not None:
         from pyspark.sql import Window
+        n_part = int(idx.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"))
         w = Window.partitionBy("anchor")
-        idx = (idx.withColumn("_df", F.count(F.lit(1)).over(w))
+        idx = (idx.repartition(n_part, "anchor")  # see cap_buckets note
+               .withColumn("_df", F.count(F.lit(1)).over(w))
                .filter(F.col("_df") <= max_df).drop("_df"))
     return (
         idx.select(F.col("id").alias("a"), "anchor")

@@ -31,15 +31,30 @@ def read(spark: SparkSession, work_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(work_dir, name))
 
 
+def row_count(work_dir: str, name: str) -> int:
+    """Row count from parquet footers — no Spark job."""
+    import pyarrow.parquet as pq
+
+    path = table_path(work_dir, name)
+    total = 0
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+    return total
+
+
 def materialize(df: DataFrame, work_dir: str, name: str,
-                resume: bool = True) -> DataFrame:
+                resume: bool = True,
+                partitions: int | None = None) -> DataFrame:
     """Compute-or-load: the core resume primitive.
 
     Returns a DataFrame backed by the stage table either way, so downstream
     stages read a stable, shuffle-free scan instead of recomputing lineage.
+    ``partitions`` controls the written file count (one read partition per
+    file for small tables — keeps downstream parallelism up).
     """
     spark = df.sparkSession
     if resume and exists(work_dir, name):
         return read(spark, work_dir, name)
-    write(df, work_dir, name)
+    write(df, work_dir, name, partitions=partitions)
     return read(spark, work_dir, name)

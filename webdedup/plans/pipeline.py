@@ -52,14 +52,21 @@ def run(
     spark = pages.sparkSession
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
+    par = spark.sparkContext.defaultParallelism
 
     def stage(name: str, build) -> DataFrame:
         t0 = time.time()
         was_done = checkpoint.exists(work_dir, name)
         df = (checkpoint.read(spark, name=name, work_dir=work_dir)
               if (resume and was_done)
-              else checkpoint.materialize(build(), work_dir, name, resume=resume))
-        n = df.count()
+              else checkpoint.materialize(build(), work_dir, name,
+                                          resume=resume, partitions=par))
+        # AQE coalesces small shuffles to few partitions, which would starve
+        # downstream UDF stages of parallelism; re-expand cheap small tables.
+        # (At production scale stage tables have >> `par` files anyway.)
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+        n = checkpoint.row_count(work_dir, name)  # footer metadata, no job
         dt = time.time() - t0
         times[name], rows[name] = dt, n
         if record_metrics and not (resume and was_done):
@@ -67,16 +74,35 @@ def run(
             metrics.append_partition_lineage(df, work_dir, name)
         return df
 
-    # 1. extract (reference stage: image decode + feature extract)
+    # 1. extract (reference stage: image decode + feature extract).
+    # Keys: a compact 64-bit surrogate id (xxhash64 of the url) travels
+    # through every matcher/join/CC instead of the url string — integer
+    # shuffle keys are ~5x narrower and hash/compare faster.  At true
+    # 10^12-doc scale a 64-bit hash key needs collision handling (use a
+    # 128-bit pair or warehouse-assigned identity ids); at bench scale the
+    # collision probability is ~1e-10.
     if "text" in pages.columns:
-        docs0 = pages.select(F.col(id_col).alias("doc_id"), "text")
+        docs0 = pages.select(F.col(id_col).alias("url"), "text")
     else:
         docs0 = with_extracted_text(pages).select(
-            F.col(id_col).alias("doc_id"), "text")
-    docs = stage("documents", lambda: docs0)
+            F.col(id_col).alias("url"), "text")
+    docs = stage(
+        "documents",
+        lambda: docs0.withColumn("doc_id", F.xxhash64("url"))
+        .select("doc_id", "url", "text"),
+    )
 
-    # 2. matchers -> candidate edge tables (reference: index+search branches)
+    # 2. ONE fused signature stage table (reference: features .npy / index
+    # files).  Materializing signatures FIRST keeps the Arrow-UDF subtrees
+    # out of the LSH self-join plans (Spark does not cache common subplans,
+    # and AQE defeats exchange reuse); FUSING all four signature kinds into
+    # one mapInPandas pass tokenizes each doc once and shares md5 digests
+    # between shingle and MinHash hashes — one stage floor instead of four.
     edge_frames: list[DataFrame] = []
+    need_sigs = {"simhash", "minhash", "substring"} & set(matchers)
+    if need_sigs:
+        from webdedup.functions.signatures import all_signatures
+        sigs = stage("signatures", lambda: all_signatures(docs, cfg=cfg))
     if "exact" in matchers:
         edge_frames.append(stage(
             "edges_exact",
@@ -86,7 +112,8 @@ def run(
     if "simhash" in matchers:
         def _sim():
             e, overflow = simhash_lsh.simhash_edges(
-                docs, cfg=cfg, scheme=simhash_scheme)
+                None, cfg=cfg, scheme=simhash_scheme,
+                sigs=sigs.select("id", "simhash"))
             checkpoint.write(
                 overflow.groupBy("table_id", "band_key")
                 .agg(F.count(F.lit(1)).alias("n_overflow")),
@@ -97,30 +124,42 @@ def run(
         edge_frames.append(stage(
             "edges_minhash",
             lambda: minhash_lsh.minhash_pairs(
-                docs, cfg=cfg, threshold=cfg.jaccard_threshold, cap=True
+                docs, cfg=cfg, threshold=cfg.jaccard_threshold, cap=True,
+                sigs=sigs.select("id", "minhash"),
+                sets=sigs.select("id", "shingles"),
             ).select(F.col("a").alias("u"), F.col("b").alias("v")),
         ))
     if "substring" in matchers:
         edge_frames.append(stage(
             "edges_substring",
-            lambda: substring.substring_pairs(
-                docs, cfg=cfg, max_df=cfg.max_bucket_size
+            lambda: substring.substring_pairs_from_index(
+                sigs.select("id", F.explode("anchors").alias("anchor")),
+                min_anchors=2, max_df=cfg.max_bucket_size,
             ).select(F.col("a").alias("u"), F.col("b").alias("v")),
         ))
 
-    # 3. union + connected components (reference: union-find clustering)
+    # 3. union + connected components (reference: union-find clustering).
+    # Node/cluster ids are the compact longs; the url mapping is re-joined
+    # only at the edge of the pipeline for human-facing outputs.
     def _cc():
         edges = edge_frames[0]
         for e in edge_frames[1:]:
             edges = edges.unionByName(e)
-        return connected_components(edges, nodes=docs.select("doc_id"), cfg=cfg)
+        assign = connected_components(
+            edges, nodes=docs.select("doc_id"), cfg=cfg)
+        return (assign.join(docs.select("doc_id", "url"),
+                            assign["id"] == F.col("doc_id"))
+                .select(F.col("url").alias("id"), "doc_id", "cluster_id"))
     assignments = stage("assignments", _cc)
 
     # 4. representatives + cluster stats (reference: choose_representatives)
-    docs_scored = docs.withColumn("n_chars", F.length("text"))
-    reps = stage("representatives",
-                 lambda: representatives(assignments, docs_scored,
-                                         id_col="doc_id", score_col="n_chars"))
-    sizes = stage("cluster_sizes", lambda: cluster_sizes(assignments))
+    docs_scored = docs.select("doc_id", F.length("text").alias("n_chars"))
+    reps = stage(
+        "representatives",
+        lambda: representatives(
+            assignments.select(F.col("doc_id").alias("id"), "cluster_id"),
+            docs_scored, id_col="doc_id", score_col="n_chars"))
+    sizes = stage("cluster_sizes", lambda: cluster_sizes(
+        assignments.select(F.col("doc_id").alias("id"), "cluster_id")))
 
     return PipelineResult(assignments, reps, sizes, times, rows)

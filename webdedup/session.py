@@ -30,11 +30,22 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 8 MB (not the 64 MB default): LSH candidate/verify shuffles carry
+        # few bytes per unit of join/sort CPU, so 64 MB reducers leave most
+        # cores idle; 8 MB keeps reducer counts near the core count
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("WEBDEDUP_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("WEBDEDUP_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 16 MB: big enough for id-lists/dims, small enough that wide-array
+        # tables (shingle sets ~45 MB at 18k docs) never broadcast — per-task
+        # broadcast deserialization of array columns is a GC storm
+        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
+        # tmpfs shuffle dir: the sandbox's virtual disk has high syscall
+        # overhead; shuffle volumes here are far below RAM capacity
+        .config("spark.local.dir",
+                os.environ.get("WEBDEDUP_LOCAL_DIR", "/dev/shm/spark-local"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
