@@ -85,7 +85,8 @@ def minhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   threshold: float | None = None,
                   cap: bool = False,
                   sigs: DataFrame | None = None,
-                  sets: DataFrame | None = None) -> DataFrame:
+                  sets: DataFrame | None = None,
+                  skew_mode: str | None = None) -> DataFrame:
     """(a, b, jaccard): banded LSH candidates verified by EXACT shingle
     Jaccard >= threshold.  ``cap=True`` applies the hot-bucket cap (scale
     path; slightly lossy, overflow is quantified by the pipeline).
@@ -98,7 +99,14 @@ def minhash_pairs(df: DataFrame, id_col: str = "doc_id",
     if sigs is None:
         sigs = minhash_signatures(df, id_col, text_col, cfg)
     bands = minhash_bands(sigs, cfg)
-    if cap:
-        bands, _ = cap_buckets(bands, cfg.max_bucket_size)
-    cands = minhash_candidates(bands)
+    if skew_mode is None and cap:
+        skew_mode = "cap"
+    if skew_mode == "salt":
+        from webdedup.operators.simhash_lsh import salted_band_candidates
+        cands = salted_band_candidates(
+            bands, cfg.max_bucket_size, cfg.salt_factor)
+    else:
+        if skew_mode == "cap":
+            bands, _ = cap_buckets(bands, cfg.max_bucket_size)
+        cands = minhash_candidates(bands)
     return jaccard_verify(cands, df, id_col, text_col, cfg, t, sets=sets)

@@ -155,7 +155,8 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
 def simhash_edges(df: DataFrame | None, id_col: str = "doc_id",
                   text_col: str = "text", cfg: DedupConfig = DEFAULT,
                   scheme: str = "combo",
-                  sigs: DataFrame | None = None) -> tuple[DataFrame, DataFrame]:
+                  sigs: DataFrame | None = None,
+                  skew_mode: str = "salt") -> tuple[DataFrame, DataFrame]:
     """Scale path for the pipeline: returns (edges, overflow_quarantine).
 
     Docs are first collapsed to *distinct fingerprints* (exact clones and
@@ -166,6 +167,10 @@ def simhash_edges(df: DataFrame | None, id_col: str = "doc_id",
 
     ``sigs``: optional materialized (id, simhash) stage table; strongly
     recommended — it keeps the signature UDF out of the self-join plan.
+
+    ``skew_mode``: 'salt' (default) spreads hot buckets over salted sub-keys
+    with NO recall loss; 'cap' keeps only the first ``max_bucket_size``
+    members per bucket and quarantines the rest (reference-cap semantics).
     """
     if sigs is None:
         sigs = simhash_fingerprints(df, id_col, text_col)
@@ -177,7 +182,64 @@ def simhash_edges(df: DataFrame | None, id_col: str = "doc_id",
     )
     reps = tagged.filter(F.col("id") == F.col("rep")).select("id", "simhash")
     bands = simhash_bands(reps, cfg, scheme)
-    kept, overflow = cap_buckets(bands, cfg.max_bucket_size)
-    rep_pairs = hamming_verify(band_candidates(kept), reps,
+    if skew_mode == "salt":
+        cands = salted_band_candidates(
+            bands, cfg.max_bucket_size, cfg.salt_factor)
+        overflow = bands.limit(0)  # lossless: nothing quarantined
+    elif skew_mode == "cap":
+        kept, overflow = cap_buckets(bands, cfg.max_bucket_size)
+        cands = band_candidates(kept)
+    else:
+        raise ValueError(skew_mode)
+    rep_pairs = hamming_verify(cands, reps,
                                cfg.hamming_threshold).select("a", "b")
     return clone_edges.unionByName(rep_pairs), overflow
+
+
+def salted_band_candidates(bands: DataFrame, hot_threshold: int,
+                           salt_factor: int) -> DataFrame:
+    """Exact candidate pairs with EXPLICIT SALTING of hot buckets.
+
+    ``band_candidates`` leaves hot buckets (boilerplate fingerprint regions)
+    as single shuffle keys: one reducer gets an O(m^2) pair explosion.  This
+    variant splits every bucket larger than ``hot_threshold`` into
+    ``salt_factor`` deterministic sub-groups (salt = xxhash64(id) % k) and
+    produces the SAME pair set with bounded per-key work:
+
+    - left side:  each hot-bucket member keyed by its own salt;
+    - right side: each member REPLICATED once per salt value;
+    - join on (table_id, band_key, salt), keep a < b.
+
+    Every pair (a, b) collides exactly under salt(a) (and salt(b) on the
+    mirrored arm, deduped by ``a < b`` + distinct), so recall is unchanged —
+    the hot key's quadratic work is spread over k reducers at the cost of
+    k-times replication of hot-bucket rows only.  Cold buckets skip the
+    machinery entirely.  This is the north_rule's "explicit salting of hot
+    LSH bands"; the reference's analog is the max_candidates cap
+    (simhash.cpp:243-245), which silently LOSES pairs — salting doesn't.
+    """
+    spark = bands.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sizes = bands.groupBy("table_id", "band_key").agg(
+        F.count(F.lit(1)).alias("_bsz"))
+    tagged = bands.join(F.broadcast(sizes.filter(F.col("_bsz") > hot_threshold)),
+                        ["table_id", "band_key"], "left")
+    cold = tagged.filter(F.col("_bsz").isNull()).drop("_bsz")
+    hot = tagged.filter(F.col("_bsz").isNotNull()).drop("_bsz")
+
+    cold_pairs = band_candidates(cold)
+
+    salt = (F.xxhash64("id") % salt_factor + salt_factor) % salt_factor
+    hot_left = hot.select("id", "table_id", "band_key",
+                          salt.alias("_salt")).withColumnRenamed("id", "a")
+    salts = F.explode(F.array(*[F.lit(i) for i in range(salt_factor)]))
+    hot_right = (hot.select("id", "table_id", "band_key")
+                 .withColumn("_salt", salts)
+                 .withColumnRenamed("id", "b"))
+    hot_pairs = (
+        hot_left.repartition(n_part, "table_id", "band_key", "_salt")
+        .join(hot_right, ["table_id", "band_key", "_salt"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    return cold_pairs.unionByName(hot_pairs).distinct()

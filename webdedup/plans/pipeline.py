@@ -124,7 +124,8 @@ def run(
         edge_frames.append(stage(
             "edges_minhash",
             lambda: minhash_lsh.minhash_pairs(
-                docs, cfg=cfg, threshold=cfg.jaccard_threshold, cap=True,
+                docs, cfg=cfg, threshold=cfg.jaccard_threshold,
+                skew_mode="salt",
                 sigs=sigs.select("id", "minhash"),
                 sets=sigs.select("id", "shingles"),
             ).select(F.col("a").alias("u"), F.col("b").alias("v")),
