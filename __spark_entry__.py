@@ -131,6 +131,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["representatives"] = _reps
 
+    # --- LSH index stats + median heuristic (SURVEY A6/A8) ---
+    def _band_stats(s: SparkSession, d: str) -> DataFrame:
+        sigs = simhash_lsh.simhash_fingerprints(_docs(s, d))
+        bands = simhash_lsh.simhash_bands(sigs, CFG, scheme="single")
+        buckets = bands.groupBy("table_id", "band_key").agg(
+            F.count(F.lit(1)).alias("bsz"))
+        return buckets.groupBy("table_id").agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("bsz").alias("max_bucket"),
+            F.sum("bsz").alias("n_rows"))
+
+    q["simhash_band_stats"] = _band_stats
+
+    def _median_heuristic(s: SparkSession, d: str) -> DataFrame:
+        sigs = simhash_lsh.simhash_fingerprints(_docs(s, d))
+        bands = simhash_lsh.simhash_bands(sigs, CFG, scheme="single")
+        cands = simhash_lsh.band_candidates(bands)
+        sa = sigs.select(F.col("id").alias("a"), F.col("simhash").alias("sig_a"))
+        sb = sigs.select(F.col("id").alias("b"), F.col("simhash").alias("sig_b"))
+        ham = (cands.join(sa, "a").join(sb, "b")
+               .withColumn("hamming",
+                           F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))))
+        # reference auto-threshold: 0.5 * median distance
+        # (run_pipeline.py:391-393)
+        return ham.agg(
+            F.round(F.percentile("hamming", F.lit(0.5)) * 0.5, 6)
+            .alias("median_threshold"),
+            F.count(F.lit(1)).alias("n_candidates"))
+
+    q["median_candidate_hamming"] = _median_heuristic
+
+    # --- matcher agreement (SURVEY U2/A5 intersect-except evaluation) ---
+    def _agreement(s: SparkSession, d: str) -> DataFrame:
+        docs = _docs(s, d)
+        sp = simhash_lsh.simhash_pairs(docs, cfg=CFG).select("a", "b")
+        jp = jaccard.jaccard_all_pairs(
+            docs, cfg=CFG, threshold=CFG.jaccard_threshold).select("a", "b")
+        tp = sp.join(jp, ["a", "b"], "left_semi").count()
+        fp = sp.join(jp, ["a", "b"], "left_anti").count()
+        fn = jp.join(sp, ["a", "b"], "left_anti").count()
+        return s.createDataFrame([(tp, fp, fn)], "tp long, fp long, fn long")
+
+    q["matcher_agreement"] = _agreement
+
+    # --- predicate + agg / ranking window (SURVEY P1/W2) ---
+    q["lang_stats"] = lambda s, d: (
+        _docs(s, d).filter(F.col("lang").isin("en", "de"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+             F.max("n_chars").alias("max_chars")))
+
+    def _topk_lang(s: SparkSession, d: str) -> DataFrame:
+        from pyspark.sql import Window
+        w = Window.partitionBy("lang").orderBy(
+            F.desc("n_chars"), F.asc("doc_id"))
+        return (_docs(s, d)
+                .withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= 3)
+                .select("lang", "doc_id", "n_chars", "rk"))
+
+    q["topk_per_lang"] = _topk_lang
+
+    # --- multimodal plumbing (binary payload -> decoded metadata) ---
+    def _media(s: SparkSession, d: str) -> DataFrame:
+        from webdedup.operators import multimodal
+        media = _docs(s, d).select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "utf-8").alias("payload"))
+        meta = multimodal.decode_media(media)
+        return meta.select("media_id", "n_bytes", "payload_sha")
+
+    q["media_meta"] = _media
+
     # --- embedding similarity ---
     q["cosine_topk"] = lambda s, d: similarity.cosine_topk(
         _emb(s, d), k=CFG.topk)
@@ -165,6 +239,13 @@ def oracle_sql() -> dict[str, str]:
         "substring_pairs": oracle_sql_mod.substring_pairs(CFG),
         "cluster_assignments": oracle_sql_mod.cluster_assignments(CFG),
         "representatives": oracle_sql_mod.representatives(CFG),
+        "simhash_band_stats": oracle_sql_mod.simhash_band_stats(),
+        "median_candidate_hamming": oracle_sql_mod.median_candidate_hamming(),
+        "matcher_agreement": oracle_sql_mod.matcher_agreement(
+            CFG.shingle_k, CFG.hamming_threshold, CFG.jaccard_threshold),
+        "lang_stats": oracle_sql_mod.lang_stats(),
+        "topk_per_lang": oracle_sql_mod.topk_per_lang(3),
+        "media_meta": oracle_sql_mod.media_meta(),
         "cosine_topk": oracle_sql_mod.cosine_topk(CFG.topk),
         "cosine_dup_pairs": oracle_sql_mod.cosine_pairs(0.3),
     }

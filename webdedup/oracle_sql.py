@@ -369,3 +369,115 @@ FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE round(list_sum(list_transform(range(len(a.vec)), i -> a.vec[i+1] * b.vec[i+1]))
             / (a.nrm * b.nrm), 6) >= {threshold}
 """
+
+
+def _blocks_sql_unsigned() -> str:
+    """HUGEINT-based unsigned view of the signed 64-bit simhash, for block
+    extraction that matches Spark's shiftrightunsigned semantics."""
+    return ("(CASE WHEN simhash < 0 THEN simhash::HUGEINT + "
+            "18446744073709551616::HUGEINT ELSE simhash::HUGEINT END)")
+
+
+def simhash_band_stats(bands: int = 8, width: int = 8) -> str:
+    """Per-table LSH index stats (A6 analog: simhash.cpp:325-341)."""
+    u = _blocks_sql_unsigned()
+    arms = " UNION ALL ".join(
+        f"SELECT doc_id, {t} AS table_id, "
+        f"(({u} >> {t * width}) % {1 << width})::BIGINT AS band_key FROM sim"
+        for t in range(bands)
+    )
+    return f"""
+WITH {TOKS_CTE.strip()},{_simhash_ctes()},
+bandtab AS ({arms}),
+buckets AS (
+  SELECT table_id, band_key, count(*) AS bsz
+  FROM bandtab GROUP BY 1, 2
+)
+SELECT table_id,
+       count(*)::BIGINT AS n_buckets,
+       max(bsz)::BIGINT AS max_bucket,
+       sum(bsz)::BIGINT AS n_rows
+FROM buckets GROUP BY 1
+"""
+
+
+def median_candidate_hamming(bands: int = 8, width: int = 8) -> str:
+    """A8 median-distance heuristic over LSH candidate pairs: candidates =
+    pairs sharing >= 1 of the 8 blocks; value = 0.5 * exact median of their
+    Hamming distances (run_pipeline.py:391-393 semantics)."""
+    u = _blocks_sql_unsigned()
+    blocks_a = [f"(({u.replace('simhash', 'a.simhash')} >> {t * width}) % {1 << width})" for t in range(bands)]
+    blocks_b = [f"(({u.replace('simhash', 'b.simhash')} >> {t * width}) % {1 << width})" for t in range(bands)]
+    collide = " OR ".join(f"{x} = {y}" for x, y in zip(blocks_a, blocks_b))
+    return f"""
+WITH {TOKS_CTE.strip()},{_simhash_ctes()},
+cand AS (
+  SELECT bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+  WHERE {collide}
+)
+SELECT round(0.5 * quantile_cont(hamming, 0.5), 6) AS median_threshold,
+       count(*)::BIGINT AS n_candidates
+FROM cand
+"""
+
+
+def matcher_agreement(k: int, ham_thr: int, jac_thr: float) -> str:
+    """U2/A5: pairwise agreement between the SimHash and Jaccard matchers."""
+    return f"""
+WITH {TOKS_CTE.strip()},{TOKLIST_CTE.strip()},{_simhash_ctes()},{_shingle_ctes(k)},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+jacc AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*)::DOUBLE / ((SELECT sz FROM sizes WHERE doc_id = a.doc_id)
+         + (SELECT sz FROM sizes WHERE doc_id = b.doc_id) - count(*)) >= {jac_thr}
+),
+hamm AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {ham_thr}
+)
+SELECT
+  (SELECT count(*) FROM hamm h JOIN jacc j
+     ON h.a = j.a AND h.b = j.b)::BIGINT AS tp,
+  (SELECT count(*) FROM hamm h LEFT JOIN jacc j
+     ON h.a = j.a AND h.b = j.b WHERE j.a IS NULL)::BIGINT AS fp,
+  (SELECT count(*) FROM jacc j LEFT JOIN hamm h
+     ON h.a = j.a AND h.b = j.b WHERE h.a IS NULL)::BIGINT AS fn
+"""
+
+
+def lang_stats() -> str:
+    """P1-style predicate + aggregation (partition-pruning shape)."""
+    return """
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars,
+       max(n_chars)::BIGINT AS max_chars
+FROM documents WHERE lang IN ('en', 'de') GROUP BY lang
+"""
+
+
+def topk_per_lang(k: int = 3) -> str:
+    """W2 ranking window beyond representatives: top-k docs by size per lang."""
+    return f"""
+SELECT lang, doc_id, n_chars, rk FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents
+) WHERE rk <= {k}
+"""
+
+
+def media_meta() -> str:
+    """Multimodal plumbing oracle: payload bytes are utf-8 text, so size and
+    sha256 are SQL-checkable (decode stub outputs are pytest-covered)."""
+    return """
+SELECT doc_id AS media_id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS payload_sha
+FROM documents
+"""
