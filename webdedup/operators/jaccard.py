@@ -41,10 +41,9 @@ def shingle_sets(df: DataFrame, id_col: str = "doc_id",
     """(id, shingles: array<long>) — distinct 60-bit shingle hashes.
 
     Two equivalent implementations (bit-identical output):
-    - Arrow pandas UDF with an md5 lru-cache (default) — ~10x faster than
-      Catalyst here because ``conv(substr(md5(...)))`` per shingle is an
-      interpreted arbitrary-base conversion, while the UDF amortizes repeat
-      shingles across the batch;
+    - Arrow pandas UDF (default) — ~10x faster than Catalyst here because
+      ``conv(substr(md5(...)))`` per shingle is an interpreted
+      arbitrary-base conversion;
     - pure Catalyst expression (``use_udf=False``) — kept as the reference
       implementation the oracle tests compare against.
     """
@@ -97,7 +96,8 @@ def jaccard_all_pairs(df: DataFrame, id_col: str = "doc_id",
                       max_df: int | None = None) -> DataFrame:
     """(a, b, jaccard) for every pair with J >= threshold — exact."""
     t = cfg.jaccard_threshold if threshold is None else threshold
-    idx = shingle_index(df, id_col, text_col, cfg, max_df)
+    idx = shingle_index(df, id_col, text_col, cfg, max_df).localCheckpoint(
+        eager=False)  # used by sizes + both self-join arms
     sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         idx.select(F.col("id").alias("a"), "sh")
@@ -139,7 +139,8 @@ def jaccard_verify(cands: DataFrame, df: DataFrame, id_col: str = "doc_id",
     survives 100 TB."""
     t = cfg.jaccard_threshold if threshold is None else threshold
     if sets is None:
-        sets = shingle_sets(df, id_col, text_col, cfg)
+        sets = shingle_sets(df, id_col, text_col, cfg).localCheckpoint(
+            eager=False)
     if not exploded:
         sa = sets.select(F.col("id").alias("a"), F.col("shingles").alias("sh_a"))
         sb = sets.select(F.col("id").alias("b"), F.col("shingles").alias("sh_b"))

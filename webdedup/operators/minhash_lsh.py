@@ -97,7 +97,9 @@ def minhash_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     t = cfg.minhash_threshold if threshold is None else threshold
     if sigs is None:
-        sigs = minhash_signatures(df, id_col, text_col, cfg)
+        # lazy checkpoint: signature UDF would otherwise run once per join arm
+        sigs = minhash_signatures(df, id_col, text_col, cfg).localCheckpoint(
+            eager=False)
     bands = minhash_bands(sigs, cfg)
     if skew_mode is None and cap:
         skew_mode = "cap"

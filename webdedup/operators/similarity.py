@@ -47,6 +47,7 @@ def cosine_pairs(df: DataFrame, id_col: str = "vec_id",
     fits (Catalyst chooses BroadcastNestedLoopJoin for the cross join)."""
     v = with_norm(df.select(F.col(id_col).alias("id"),
                             F.col(vec_col).alias("vec")), "vec")
+    v = v.localCheckpoint(eager=False)  # both cross-join arms
     a = v.select(F.col("id").alias("a"), F.col("vec").alias("va"),
                  F.col("norm").alias("na"))
     b = v.select(F.col("id").alias("b"), F.col("vec").alias("vb"),
@@ -104,6 +105,7 @@ def lsh_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
     """
     sig = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
                     vector_simhash_udf(cfg)(F.col(vec_col)).alias("sig"))
+    sig = sig.localCheckpoint(eager=False)  # UDF shared by both join arms
     width = cfg.hyperplane_bits // bands
     band_arr = F.array(*[
         F.struct(

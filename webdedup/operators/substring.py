@@ -88,7 +88,8 @@ def substring_pairs(df: DataFrame, id_col: str = "doc_id",
     query runs uncapped.
     """
     return substring_pairs_from_index(
-        anchor_index(df, id_col, text_col, cfg), min_anchors, max_df)
+        anchor_index(df, id_col, text_col, cfg).localCheckpoint(eager=False),
+        min_anchors, max_df)
 
 
 def substring_pairs_from_index(idx: DataFrame, min_anchors: int = 2,
