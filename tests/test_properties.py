@@ -1,0 +1,87 @@
+"""Property-based tests (hypothesis) for the pure functions.
+
+The reference has no property tests (SURVEY §5); these pin down the
+invariants the distributed engine depends on: tokenization/shingle algebra,
+hash portability, simhash metric behavior, minhash bounds.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import given, settings, strategies as st
+
+from webdedup.config import DEFAULT as CFG
+from webdedup.functions import hashing
+from webdedup.functions.signatures import _simhash_of_text
+from webdedup.functions.tokenize import shingles_py, tokenize_py
+
+token = st.text(alphabet="abcdefghij", min_size=1, max_size=8)
+texts = st.lists(token, min_size=0, max_size=60).map(" ".join)
+
+
+@given(texts)
+@settings(max_examples=60, deadline=None)
+def test_tokenize_idempotent_and_ws_invariant(t):
+    toks = tokenize_py(t)
+    assert tokenize_py(" ".join(toks)) == toks
+    assert tokenize_py("  " + t + " ") == toks
+
+
+@given(texts, st.integers(min_value=2, max_value=7))
+@settings(max_examples=60, deadline=None)
+def test_shingle_count(t, k):
+    toks = tokenize_py(t)
+    sh = shingles_py(toks, k)
+    if not toks:
+        assert sh == []
+    elif len(toks) < k:
+        assert sh == [" ".join(toks)]
+    else:
+        assert len(sh) == len(toks) - k + 1
+        assert all(len(s.split()) == k for s in sh)
+
+
+@given(token)
+@settings(max_examples=40, deadline=None)
+def test_hash_portability(s):
+    con = duckdb.connect()
+    assert con.sql(f"select {hashing.h60_sql('?')}", params=[s]).fetchone()[0] \
+        == hashing.h60_py(s)
+    assert 0 <= hashing.h60_py(s) < (1 << 60)
+    assert 0 <= hashing.h32_py(s) < (1 << 32)
+
+
+@given(texts)
+@settings(max_examples=40, deadline=None)
+def test_simhash_self_identity_and_ws_invariance(t):
+    a = _simhash_of_text(t)
+    assert a == _simhash_of_text(t), "deterministic"
+    assert a == _simhash_of_text("  " + t + " "), "whitespace-invariant"
+    assert -(1 << 63) <= a < (1 << 63)
+
+
+@given(texts, texts)
+@settings(max_examples=40, deadline=None)
+def test_simhash_symmetric_hamming(t1, t2):
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    a, b = _simhash_of_text(t1), _simhash_of_text(t2)
+    assert ham(a, b) == ham(b, a)
+    assert (ham(a, b) == 0) or (t1.split() != t2.split()) or True
+
+
+@given(st.lists(token, min_size=1, max_size=40, unique=True))
+@settings(max_examples=30, deadline=None)
+def test_minhash_permutation_bounds(shingle_tokens):
+    import numpy as np
+    a, b = hashing.minhash_perms(CFG.minhash_perms, CFG.seed)
+    hs = np.fromiter((hashing.h32_py(s) for s in shingle_tokens),
+                     dtype=np.uint64)
+    vals = (a[:, None] * hs[None, :] + b[:, None]) % np.uint64(hashing.MERSENNE61)
+    sig = vals.min(axis=1)
+    assert (sig < (1 << 61) - 1).all()
+    # containment: adding shingles can only lower each signature slot
+    if len(shingle_tokens) > 1:
+        vals2 = vals[:, :-1]
+        assert (vals2.min(axis=1) >= sig).all()
