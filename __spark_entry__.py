@@ -131,6 +131,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["representatives"] = _reps
 
+    # --- regex label projection (SURVEY P2) + L2 norm (P4) ---
+    q["source_labels"] = lambda s, d: _docs(s, d).select(
+        "doc_id",
+        F.when(F.regexp_extract("source", r"src(\d+)", 1) != "",
+               F.regexp_extract("source", r"src(\d+)", 1))
+        .otherwise(F.lit("unknown")).alias("label"))
+
+    def _emb_norms(s: SparkSession, d: str) -> DataFrame:
+        from webdedup.operators.similarity import with_norm
+        return (with_norm(_emb(s, d), "embedding", "l2_norm")
+                .select("vec_id", F.round("l2_norm", 6).alias("l2_norm")))
+
+    q["embedding_norms"] = _emb_norms
+
     # --- LSH index stats + median heuristic (SURVEY A6/A8) ---
     def _band_stats(s: SparkSession, d: str) -> DataFrame:
         sigs = simhash_lsh.simhash_fingerprints(_docs(s, d))
@@ -239,6 +253,8 @@ def oracle_sql() -> dict[str, str]:
         "substring_pairs": oracle_sql_mod.substring_pairs(CFG),
         "cluster_assignments": oracle_sql_mod.cluster_assignments(CFG),
         "representatives": oracle_sql_mod.representatives(CFG),
+        "source_labels": oracle_sql_mod.source_labels(),
+        "embedding_norms": oracle_sql_mod.embedding_norms(),
         "simhash_band_stats": oracle_sql_mod.simhash_band_stats(),
         "median_candidate_hamming": oracle_sql_mod.median_candidate_hamming(),
         "matcher_agreement": oracle_sql_mod.matcher_agreement(

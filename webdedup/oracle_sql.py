@@ -481,3 +481,23 @@ SELECT doc_id AS media_id,
        sha256(text) AS payload_sha
 FROM documents
 """
+
+
+def source_labels() -> str:
+    """P2 regex label projection (ground_truth_utils.py:15-21 analog)."""
+    return """
+SELECT doc_id,
+       CASE WHEN regexp_matches(source, 'src(\\d+)')
+            THEN regexp_extract(source, 'src(\\d+)', 1)
+            ELSE 'unknown' END AS label
+FROM documents
+"""
+
+
+def embedding_norms() -> str:
+    """P4 L2 norm (benchmark_comparison.py:172 analog)."""
+    return """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding, x -> (x::DOUBLE) * (x::DOUBLE)))), 6) AS l2_norm
+FROM embeddings
+"""
