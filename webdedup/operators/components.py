@@ -27,14 +27,17 @@ from pyspark.sql import functions as F
 from webdedup.config import DedupConfig, DEFAULT
 
 
-def _canon(e: DataFrame) -> DataFrame:
-    """Canonical undirected edge set: (lo < hi), distinct, no self-loops."""
-    return (
+def _canon(e: DataFrame, dedup: bool = True) -> DataFrame:
+    """Canonical undirected edge set: (lo < hi), no self-loops; ``dedup``
+    adds the distinct (one shuffle) — skipped between the two star passes
+    where duplicates are harmless and the final distinct covers them."""
+    out = (
         e.select(F.least("u", "v").alias("lo"), F.greatest("u", "v").alias("hi"))
         .filter(F.col("lo") != F.col("hi"))
-        .distinct()
-        .select(F.col("lo").alias("u"), F.col("hi").alias("v"))
     )
+    if dedup:
+        out = out.distinct()
+    return out.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -46,7 +49,7 @@ def _large_star(e: DataFrame) -> DataFrame:
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), m.alias("v"))
     )
-    return _canon(out)
+    return _canon(out, dedup=False)
 
 
 def _small_star(e: DataFrame) -> DataFrame:
@@ -86,10 +89,11 @@ def connected_components(
     e = e.localCheckpoint(eager=True)
     prev = _checksum(e)
     for it in range(cfg.cc_max_iterations):
-        # checkpoint EVERY round: AQE re-plans per action, which defeats
+        # checkpoint EVERY round (AQE re-plans per action, which defeats
         # shuffle-stage reuse across jobs — without materialization each
-        # round's checksum would recompute all prior rounds
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # round's checksum would recompute all prior rounds); lazy form so
+        # the checksum action both materializes and measures in ONE job
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _checksum(e)
         if cur == prev:
             break
