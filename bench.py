@@ -152,13 +152,16 @@ def main() -> None:
     n_docs = ensure_corpus()
     t_lo, _ = run_pipeline_at(LO_CORES)
     t_hi, _ = run_pipeline_at(HI_CORES)
+    calib_after = calibrate_host()
     speedup = t_lo / t_hi if t_hi > 0 else 0.0
     efficiency = speedup / (HI_CORES / LO_CORES)
     # normalize against what the host physically delivers at 4x procs —
     # this sandbox's 32 "vCPUs" are heavily oversubscribed (calibration
     # typically shows only ~2.8-3.7x at 4 procs), so raw efficiency
-    # understates the pipeline's parallel fraction
-    host4 = calib.get("procs_4_speedup") or 4.0
+    # understates the pipeline's parallel fraction.  Calibrated before AND
+    # after the pipeline runs (host contention drifts on minute scales).
+    host4 = (calib.get("procs_4_speedup", 4.0)
+             + calib_after.get("procs_4_speedup", 4.0)) / 2
     efficiency_vs_host = speedup / host4
 
     result = {
@@ -180,6 +183,7 @@ def main() -> None:
             "efficiency_vs_host_capacity": round(efficiency_vs_host, 3),
         },
         "host_calibration": calib,
+        "host_calibration_after": calib_after,
     }
     print(json.dumps(result))
 
