@@ -39,7 +39,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 LO_CORES = int(os.environ.get("WEBDEDUP_BENCH_LO", "1"))
 HI_CORES = int(os.environ.get("WEBDEDUP_BENCH_HI", str(4 * LO_CORES)))
-BENCH_GROUPS = int(os.environ.get("WEBDEDUP_BENCH_GROUPS", "20000"))
+BENCH_GROUPS = int(os.environ.get("WEBDEDUP_BENCH_GROUPS", "10000"))
 CORPUS_DIR = os.environ.get(
     "WEBDEDUP_BENCH_CORPUS",
     f"/root/repo/.cache/bench_corpus_{BENCH_GROUPS}.parquet")
