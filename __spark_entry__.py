@@ -6,10 +6,12 @@
                     are md5-derived and floats are rounded to 6 decimals in
                     BOTH engines; see webdedup/oracle_sql.py).
 
-Queries without an oracle entry are inherently approximate/seeded operators
-(banded MinHash LSH candidates, hyperplane LSH) — the driver records
-rows-only checks for those; their correctness is covered by pytest against
-the brute-force oracle in webdedup/oracle.py.
+EVERY query has a DuckDB oracle twin — including the seeded/banded LSH ones:
+the seeds are fixed, the perm/plane constants are inlined into the SQL, and
+band membership is expressed as slice/bit equality, so the 'probabilistic'
+operators are deterministic and exactly checkable.  Recall properties of the
+approximate paths are additionally pytest-gated against brute-force oracles
+(webdedup/oracle.py, tests/test_matchers.py).
 """
 
 from __future__ import annotations
@@ -35,6 +37,61 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables.embeddings(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# shared memoized frames
+#
+# Several headline queries (cluster_assignments, representatives,
+# matcher_agreement, pipeline_eval) are derived views over the SAME matcher
+# edge sets and the same clustering.  The driver calls each queries() entry
+# separately, so without sharing, `representatives` would recompute the
+# 3-matcher + iterative-CC work `cluster_assignments` just did (~17s each at
+# bench sf0.1 in round 1).  Frames are eagerly localCheckpoint-ed once per
+# (SparkContext, sf_dir) — the executor-side analog of the pipeline's
+# materialized stage tables.
+# ---------------------------------------------------------------------------
+
+_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _memo(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
+    k = (spark.sparkContext.applicationId, sf_dir, key)
+    df = _MEMO.get(k)
+    if df is None:
+        df = _MEMO[k] = build().localCheckpoint(eager=True)
+    return df
+
+
+def _matcher_edges(s: SparkSession, d: str) -> DataFrame:
+    """Canonical union of the three batch matchers' pair sets (u < v)."""
+    def build() -> DataFrame:
+        docs = _docs(s, d)
+        e1 = exact.exact_dup_edges(docs).select(
+            F.col("src").alias("u"), F.col("dst").alias("v"))
+        sim = simhash_lsh.simhash_pairs(docs, cfg=CFG).select(
+            F.col("a").alias("u"), F.col("b").alias("v"))
+        # df-capped candidate generation (exact-J verify over full sets):
+        # the scale-safe default — identical output on the oracle data,
+        # where max shingle df = 3 << max_bucket_size (see jaccard.py)
+        jac = jaccard.jaccard_all_pairs(
+            docs, cfg=CFG, threshold=CFG.jaccard_threshold,
+            max_df=CFG.max_bucket_size).select(
+            F.col("a").alias("u"), F.col("b").alias("v"))
+        return (e1.unionByName(sim).unionByName(jac)
+                .select(F.least("u", "v").alias("u"),
+                        F.greatest("u", "v").alias("v"))
+                .distinct())
+    return _memo(s, d, "matcher_edges", build)
+
+
+def _assignments(s: SparkSession, d: str) -> DataFrame:
+    def build() -> DataFrame:
+        docs = _docs(s, d)
+        return connected_components(
+            _matcher_edges(s, d), nodes=docs.select("doc_id"), cfg=CFG,
+        ).select(F.col("id").alias("doc_id"), "cluster_id")
+    return _memo(s, d, "assignments", build)
 
 
 # ---------------------------------------------------------------------------
@@ -87,38 +144,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), cfg=CFG).select(
             F.col("id").alias("doc_id"),
             F.size("shingles").alias("n_shingles"))
+    # df-capped candidate generation + exact-J verify: scale-safe, values
+    # identical to the uncapped oracle (max shingle df = 3 at sf0.01)
     q["jaccard_pairs"] = lambda s, d: jaccard.jaccard_all_pairs(
-        _docs(s, d), cfg=CFG, threshold=CFG.jaccard_threshold).withColumn(
+        _docs(s, d), cfg=CFG, threshold=CFG.jaccard_threshold,
+        max_df=CFG.max_bucket_size).withColumn(
             "jaccard", F.round("jaccard", 6))
     q["minhash_sig"] = lambda s, d: minhash_lsh.minhash_signatures(
         _docs(s, d), cfg=CFG).select(
             F.col("id").alias("doc_id"),
             F.posexplode("minhash").alias("perm_id", "sig_value"))
-    # approximate (banded LSH) candidates -> exact-verified pairs; no SQL
-    # oracle (banding is probabilistic) — rows-only check + pytest coverage
+    # banded LSH candidates -> exact-verified pairs.  Oracle-checked after
+    # all: the seeded perms are inlined in SQL and banding is slice equality
     q["minhash_lsh_pairs"] = lambda s, d: minhash_lsh.minhash_pairs(
         _docs(s, d), cfg=CFG, threshold=CFG.jaccard_threshold).withColumn(
             "jaccard", F.round("jaccard", 6))
+
+    # signature-estimate Jaccard re-rank over the banded candidates — the
+    # reference's re-rank metric (minhash_search.py:81-83), oracle-checked
+    def _est_jaccard(s: SparkSession, d: str) -> DataFrame:
+        sigs = minhash_lsh.minhash_signatures(
+            _docs(s, d), cfg=CFG).localCheckpoint(eager=False)
+        cands = minhash_lsh.minhash_candidates(
+            minhash_lsh.minhash_bands(sigs, CFG))
+        return minhash_lsh.signature_jaccard(cands, sigs).withColumn(
+            "est_jaccard", F.round("est_jaccard", 6))
+
+    q["minhash_est_jaccard"] = _est_jaccard
 
     # --- substring / suffix pass ---
     q["substring_pairs"] = lambda s, d: substring.substring_pairs(
         _docs(s, d), cfg=CFG)
 
     # --- clustering + representatives (SURVEY C1/W1) ---
-    def _assignments(s: SparkSession, d: str) -> DataFrame:
-        docs = _docs(s, d)
-        e1 = exact.exact_dup_edges(docs).select(
-            F.col("src").alias("u"), F.col("dst").alias("v"))
-        sim = simhash_lsh.simhash_pairs(docs, cfg=CFG).select(
-            F.col("a").alias("u"), F.col("b").alias("v"))
-        jac = jaccard.jaccard_all_pairs(
-            docs, cfg=CFG, threshold=CFG.jaccard_threshold).select(
-            F.col("a").alias("u"), F.col("b").alias("v"))
-        return connected_components(
-            e1.unionByName(sim).unionByName(jac),
-            nodes=docs.select("doc_id"), cfg=CFG,
-        ).select(F.col("id").alias("doc_id"), "cluster_id")
-
+    # both derive from the memoized checkpointed assignment frame: the CC
+    # fixpoint runs ONCE per (session, sf_dir), not once per headline query
     q["cluster_assignments"] = _assignments
 
     def _reps(s: SparkSession, d: str) -> DataFrame:
@@ -130,6 +190,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             id_col="doc_id", score_col="n_chars")
 
     q["representatives"] = _reps
+
+    # --- end-to-end evaluation report (evaluator.py:33-63 / A5) ---
+    # predicted = intra-cluster pairs of the union-of-matchers clustering;
+    # truth = the matched pair set itself.  recall == 1.0 is the driver-
+    # visible invariant (CC never separates a matched pair); precision < 1
+    # quantifies transitive-closure expansion.  (The north-rule recall>=0.99
+    # gate vs the golden corpus fixtures is pytest-gated in
+    # tests/test_pipeline.py — this makes the same report shape visible to
+    # the correctness harness.)
+    def _pipeline_eval(s: SparkSession, d: str) -> DataFrame:
+        from webdedup.operators.evaluate import cluster_pairs, metrics_frame
+        assign = _assignments(s, d).select(
+            F.col("doc_id").alias("id"), "cluster_id")
+        pred = cluster_pairs(assign)
+        truth = _matcher_edges(s, d).select(
+            F.col("u").alias("a"), F.col("v").alias("b"))
+        return metrics_frame(pred, truth)
+
+    q["pipeline_eval"] = _pipeline_eval
 
     # --- regex label projection (SURVEY P2) + L2 norm (P4) ---
     q["source_labels"] = lambda s, d: _docs(s, d).select(
@@ -178,14 +257,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- matcher agreement (SURVEY U2/A5 intersect-except evaluation) ---
     def _agreement(s: SparkSession, d: str) -> DataFrame:
+        from webdedup.operators.evaluate import metrics_frame
         docs = _docs(s, d)
         sp = simhash_lsh.simhash_pairs(docs, cfg=CFG).select("a", "b")
         jp = jaccard.jaccard_all_pairs(
-            docs, cfg=CFG, threshold=CFG.jaccard_threshold).select("a", "b")
-        tp = sp.join(jp, ["a", "b"], "left_semi").count()
-        fp = sp.join(jp, ["a", "b"], "left_anti").count()
-        fn = jp.join(sp, ["a", "b"], "left_anti").count()
-        return s.createDataFrame([(tp, fp, fn)], "tp long, fp long, fn long")
+            docs, cfg=CFG, threshold=CFG.jaccard_threshold,
+            max_df=CFG.max_bucket_size).select("a", "b")
+        # ONE action over a full-outer join (was: three semi/anti counts,
+        # each re-deriving both matchers' pair frames)
+        return metrics_frame(sp, jp).select("tp", "fp", "fn")
 
     q["matcher_agreement"] = _agreement
 
@@ -226,11 +306,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so the config default (0.9) would make this check vacuous
     q["cosine_dup_pairs"] = lambda s, d: similarity.cosine_pairs(
         _emb(s, d), threshold=0.3)
-    # seeded hyperplane LSH — no SQL oracle (driver rows-only check)
+    # seeded hyperplane LSH — oracle-checked: the plane matrix is inlined in
+    # SQL at full float precision (min |dot| in the fixed embeddings ~3e-4,
+    # far above float64 associativity noise, so signs agree bit-for-bit)
     q["vector_signatures"] = lambda s, d: similarity.vector_signatures(
         _emb(s, d), cfg=CFG)
+    # probe_bits=1 multi-probe: recall vs exact cosine_dup_pairs rises
+    # ~0.45 -> ~0.92 at threshold 0.3 (see tests/test_matchers.py sweep)
     q["lsh_cosine_pairs"] = lambda s, d: similarity.lsh_cosine_pairs(
-        _emb(s, d), threshold=0.3, cfg=CFG)
+        _emb(s, d), threshold=0.3, cfg=CFG, probe_bits=1)
 
     return q
 
@@ -250,8 +334,12 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": oracle_sql_mod.jaccard_pairs(
             CFG.shingle_k, CFG.jaccard_threshold),
         "minhash_sig": oracle_sql_mod.minhash_sig_long(CFG),
+        "minhash_lsh_pairs": oracle_sql_mod.minhash_lsh_pairs(
+            CFG, CFG.jaccard_threshold),
+        "minhash_est_jaccard": oracle_sql_mod.minhash_est_jaccard(CFG),
         "substring_pairs": oracle_sql_mod.substring_pairs(CFG),
         "cluster_assignments": oracle_sql_mod.cluster_assignments(CFG),
+        "pipeline_eval": oracle_sql_mod.pipeline_eval(CFG),
         "representatives": oracle_sql_mod.representatives(CFG),
         "source_labels": oracle_sql_mod.source_labels(),
         "embedding_norms": oracle_sql_mod.embedding_norms(),
@@ -264,5 +352,8 @@ def oracle_sql() -> dict[str, str]:
         "media_meta": oracle_sql_mod.media_meta(),
         "cosine_topk": oracle_sql_mod.cosine_topk(CFG.topk),
         "cosine_dup_pairs": oracle_sql_mod.cosine_pairs(0.3),
+        "vector_signatures": oracle_sql_mod.vector_signatures(CFG),
+        "lsh_cosine_pairs": oracle_sql_mod.lsh_cosine_pairs(
+            0.3, CFG, bands=4, probe_bits=1),
     }
 

@@ -47,8 +47,9 @@ CORPUS_DIR = os.environ.get(
 HEADLINE = [
     "token_stats", "quality_scores", "lang_id", "doc_fingerprint",
     "simhash64", "simhash_pairs_combo", "minhash_lsh_pairs",
-    "jaccard_pairs", "substring_pairs", "cluster_assignments",
-    "representatives", "vector_signatures", "lsh_cosine_pairs",
+    "minhash_est_jaccard", "jaccard_pairs", "substring_pairs",
+    "cluster_assignments", "representatives", "pipeline_eval",
+    "vector_signatures", "lsh_cosine_pairs",
 ]
 
 

@@ -48,3 +48,30 @@ def test_random_graph_matches_union_find(spark):
 
 def test_duplicate_and_reversed_edges(spark):
     _check(spark, [(1, 2), (2, 1), (1, 2), (2, 3), (3, 2)])
+
+
+def test_two_phase_equals_single_phase(spark):
+    """Two-phase CC (local union-find contraction, then star rounds) must be
+    result-identical to the pure star-rounds path on an adversarial mix of
+    long chains + blobs spread across partitions."""
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(0, 400, 1)]          # one long chain
+    edges += [(500 + rng.randrange(50), 500 + rng.randrange(50))
+              for _ in range(120)]                           # dense blob
+    edges += [(1000 + 2 * i, 1001 + 2 * i) for i in range(40)]  # tiny pairs
+    edf = spark.createDataFrame(edges, ["u", "v"]).repartition(16)
+    one = {r["id"]: r["cluster_id"] for r in
+           connected_components(edf, cfg=CFG, local_phase=False).collect()}
+    two = {r["id"]: r["cluster_id"] for r in
+           connected_components(edf, cfg=CFG, local_phase=True).collect()}
+    assert one == two
+
+
+def test_two_phase_string_ids(spark):
+    """The local contraction is type-agnostic (urls cluster like longs)."""
+    edges = [("u/a", "u/b"), ("u/b", "u/c"), ("x/p", "x/q")]
+    edf = spark.createDataFrame(edges, ["u", "v"])
+    got = {r["id"]: r["cluster_id"]
+           for r in connected_components(edf, cfg=CFG).collect()}
+    assert got == {"u/a": "u/a", "u/b": "u/a", "u/c": "u/a",
+                   "x/p": "x/p", "x/q": "x/p"}

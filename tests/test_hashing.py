@@ -85,3 +85,51 @@ def test_minhash_perm_bounds():
     assert int(a.max()) < (1 << 31) and int(b.max()) < (1 << 31)
     a2, b2 = hashing.minhash_perms(128, 42)
     assert (a == a2).all() and (b == b2).all(), "seeded -> reproducible"
+
+
+# --- non-ASCII whitespace: all three engines must split identically --------
+#
+# Java \s+ (Spark F.split), the explicit ASCII class in tokenize_py, and the
+# DuckDB [\s\x0b]+ pattern are all exactly [ \t\n\x0b\f\r].  Unicode
+# whitespace (NBSP \xa0, NEL \x85, LS  , ideographic space 　) is
+# NOT a separator in any engine.  str.split() would treat it as one — that
+# divergence between the Arrow-UDF path and the Catalyst/oracle paths is
+# what this pins down (it only stays latent as long as ingestion normalizes
+# whitespace, and pipeline.run accepts pre-extracted `text` directly).
+
+UNICODE_WS_SAMPLES = [
+    "a\xa0b c",          # NBSP inside a token
+    "x\x85y z",     # NEL + LINE SEPARATOR
+    "p\x0bq r",          # \x0b IS a separator (Java \s has it, RE2 \s not)
+    "m　n",          # ideographic space
+    "ja\xa0va \t mixed\x0b\ncase",
+]
+
+
+@pytest.mark.parametrize("t", UNICODE_WS_SAMPLES)
+def test_tokenize_parity_unicode_whitespace(t):
+    con = duckdb.connect()
+    got = con.sql(f"select {tokens_sql('?')}", params=[t]).fetchone()[0]
+    assert got == tokenize_py(t)
+
+
+def test_unicode_whitespace_udf_vs_catalyst(spark):
+    """shingle_sets(use_udf=True) == use_udf=False on unicode-ws text."""
+    from pyspark.sql import functions as F
+
+    from webdedup.config import DEFAULT as CFG
+    from webdedup.functions.tokenize import tokens_col
+    from webdedup.operators.jaccard import shingle_sets
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(UNICODE_WS_SAMPLES)],
+        "doc_id long, text string")
+    udf_side = {r["id"]: list(r["shingles"])
+                for r in shingle_sets(df, cfg=CFG, use_udf=True).collect()}
+    cat_side = {r["id"]: list(r["shingles"])
+                for r in shingle_sets(df, cfg=CFG, use_udf=False).collect()}
+    assert udf_side == cat_side
+    # token streams themselves: Catalyst \s+ vs tokenize_py
+    jvm = df.select("doc_id", tokens_col(F.col("text")).alias("toks")).collect()
+    for r in jvm:
+        assert list(r["toks"]) == tokenize_py(UNICODE_WS_SAMPLES[r["doc_id"]])

@@ -90,3 +90,47 @@ def test_minhash_signature_properties(spark):
            for r in signature_jaccard(cands, sigs).collect()}
     assert est[(1, 2)] == 1.0
     assert est[(1, 3)] < 0.2
+
+
+def test_lsh_cosine_recall_sweep(spark):
+    """The ANN recall/cost dial (faiss nprobe analog): multi-probe raises
+    recall vs the exact cosine oracle; verify keeps only true pairs."""
+    from webdedup.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact_pairs = _pairset(similarity.cosine_pairs(emb, threshold=0.3))
+    assert exact_pairs, "fixture must have >=1 pair above threshold"
+    recalls = {}
+    for probe in (0, 1):
+        got = _pairset(similarity.lsh_cosine_pairs(
+            emb, threshold=0.3, cfg=CFG, probe_bits=probe))
+        assert got <= exact_pairs, "cosine verify admits only true pairs"
+        recalls[probe] = len(got) / len(exact_pairs)
+    assert recalls[1] > recalls[0], f"multi-probe must raise recall {recalls}"
+    assert recalls[1] >= 0.90, f"probe_bits=1 recall {recalls[1]:.3f}"
+    # at the production threshold (0.9) even probe 0 is designed for ~0.95;
+    # the 0.3-threshold regime here is the stress case from the fixtures
+
+
+def test_minhash_est_prefilter_keeps_recall(docs, corpus_texts):
+    """Signature-estimate prefilter (minhash_search.py:81-83) 3σ under the
+    verify threshold must not change what survives the exact verify where
+    banding is reliable (J>=0.7)."""
+    got = _pairset(minhash_lsh.minhash_pairs(
+        docs, cfg=CFG, threshold=CFG.jaccard_threshold, est_prefilter=0.35))
+    exp = oracle.jaccard_pairs(corpus_texts, CFG.jaccard_threshold, CFG)
+    assert got <= exp
+    high = oracle.jaccard_pairs(corpus_texts, 0.7, CFG)
+    recall_high = len(got & high) / len(high) if high else 1.0
+    assert recall_high >= 0.99, f"est-prefilter recall@J>=0.7 {recall_high:.3f}"
+
+
+def test_jaccard_max_df_cap_equivalent_here(docs, corpus_texts):
+    """df-capped candidate generation + full-set verify: identical results
+    on data whose max shingle df is far below the cap (values are exact by
+    construction; only recall could differ, and here it does not)."""
+    capped = _pairset(jaccard.jaccard_all_pairs(
+        docs, cfg=CFG, threshold=CFG.jaccard_threshold,
+        max_df=CFG.max_bucket_size))
+    exp = oracle.jaccard_pairs(corpus_texts, CFG.jaccard_threshold, CFG)
+    assert capped == exp

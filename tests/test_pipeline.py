@@ -13,7 +13,10 @@ from pyspark.sql import functions as F
 from webdedup import oracle
 from webdedup.config import DEFAULT as CFG
 from webdedup.functions.extract import with_extracted_text
-from webdedup.plans import checkpoint, pipeline
+from webdedup.plans import checkpoint, metrics, pipeline
+from webdedup.sources import corpus
+
+N_GROUPS = 40  # matches conftest.corpus_rows
 
 
 def _partitions(d: dict) -> set[frozenset]:
@@ -31,8 +34,12 @@ def work_dir():
 
 
 @pytest.fixture(scope="module")
-def result(pages, work_dir):
-    return pipeline.run(pages, work_dir, cfg=CFG, resume=True)
+def result(spark, pages, work_dir):
+    truth = spark.createDataFrame(
+        [(a, b) for a, b, _ in corpus.golden_pairs(CFG.seed, N_GROUPS)],
+        "a string, b string")
+    return pipeline.run(pages, work_dir, cfg=CFG, resume=True,
+                        truth_pairs=truth)
 
 
 def test_recall_gate(result, corpus_texts):
@@ -88,6 +95,36 @@ def test_extraction_invariant(pages):
     bad = j.filter(
         (F.col("t1") != F.col("t2")) | (F.col("t1") != F.col("text"))).count()
     assert bad == 0
+
+
+def test_report_table(result):
+    """The evaluation_full.json analog: timings + memory + golden eval in
+    one long-form stage table (reference run_pipeline.py:504-505)."""
+    rep = {r["metric"]: r["value"] for r in result.report.collect()}
+    assert rep["eval/recall"] >= 0.99
+    assert rep["eval/precision"] >= 0.95
+    assert rep["eval/f1"] > 0
+    assert any(k.startswith("wall_sec/") for k in rep)
+    assert rep["rows/assignments"] > 0
+    assert rep["peak_rss_mb"] > 0 and rep["jvm_heap_mb"] > 0
+
+
+def test_stage_metrics_record_memory(spark, work_dir, result):
+    """A9 parity: every stage-metrics row carries peak-memory samples."""
+    m = metrics.read_stage_metrics(spark, work_dir)
+    assert {"peak_rss_mb", "jvm_heap_mb"} <= set(m.columns)
+    bad = m.filter((F.col("peak_rss_mb") <= 0) | (F.col("jvm_heap_mb") <= 0))
+    assert bad.count() == 0
+    assert m.count() > 0
+
+
+def test_minhash_overflow_table_written(spark, work_dir, result):
+    """No silent caps: the minhash stage persists its quarantine table
+    (empty under lossless salting, but always present/auditable)."""
+    assert checkpoint.exists(work_dir, "minhash_bucket_overflow")
+    df = checkpoint.read(spark, name="minhash_bucket_overflow",
+                         work_dir=work_dir)
+    assert {"table_id", "band_key", "n_overflow"} <= set(df.columns)
 
 
 def test_boilerplate_hot_group_clustered(result):

@@ -179,14 +179,14 @@ def all_signatures(df, cfg: DedupConfig = DEFAULT,
     md5 = hashlib.md5
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from webdedup.functions.tokenize import shingles_py
+        from webdedup.functions.tokenize import shingles_py, tokenize_py
 
         for batch in batches:
             tok_cache: dict = {}
             out = {"id": [], "simhash": [], "minhash": [],
                    "shingles": [], "anchors": []}
             for rid, text in zip(batch[id_col], batch[text_col]):
-                toks = (text or "").lower().split()
+                toks = tokenize_py(text or "")  # Java-\s-equivalent split
                 # --- simhash (token-level, batch-scoped hash cache) ---
                 sh = _simhash_of_text(" ".join(toks), tok_cache) if toks else 0
                 # --- shingles + minhash from ONE digest per 5-gram ---

@@ -3,20 +3,39 @@
 Semantics mirror the reference's text SimHash tokenizer: lowercase +
 whitespace split with term-frequency weights (``simhash.cpp:84-93``).  Empty
 tokens from leading/trailing/repeated whitespace are dropped in every engine.
+
+Whitespace is the JAVA ``\\s`` class — exactly ``[ \\t\\n\\x0b\\f\\r]`` — in
+ALL THREE engines:
+
+- Spark ``F.split`` compiles ``\\s+`` with java.util.regex (ASCII-only);
+- the Python tokenizer splits on the same explicit ASCII class (NOT
+  ``str.split()``, which also splits on Unicode whitespace — NBSP, \\x85,
+  \\u2028... — and would silently diverge from the Catalyst paths for any
+  text containing them);
+- DuckDB/RE2's ``\\s`` is ``[ \\t\\n\\f\\r]`` (no \\x0b), so the oracle
+  pattern adds it explicitly.
+
+``tests/test_textstats_similarity.py`` pins this with NBSP/\\x85/\\x0b
+inputs across the UDF and Catalyst paths.
 """
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-TOKEN_SPLIT_RE = r"\s+"
+TOKEN_SPLIT_RE = r"\s+"                     # Java regex (Spark side)
+TOKEN_SPLIT_SQL_RE = r"[\s\x0b]+"           # RE2 (DuckDB side): \s lacks \x0b
+
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")  # == Java \s, engine-independent
 
 
 # --- Python -----------------------------------------------------------------
 
 def tokenize_py(text: str) -> list[str]:
-    return text.lower().split()
+    return [t for t in _ASCII_WS.split(text.lower()) if t]
 
 
 def shingles_py(tokens: list[str], k: int) -> list[str]:
@@ -54,7 +73,7 @@ def shingles_col(tokens: Column, k: int) -> Column:
 
 def tokens_sql(text_expr: str) -> str:
     return (
-        f"list_filter(regexp_split_to_array(lower({text_expr}), '\\s+'),"
+        f"list_filter(regexp_split_to_array(lower({text_expr}), '[\\s\\x0b]+'),"
         f" t -> t <> '')"
     )
 

@@ -62,6 +62,53 @@ def _small_star(e: DataFrame) -> DataFrame:
     return _canon(out)
 
 
+def _local_contract(e: DataFrame) -> DataFrame:
+    """Phase-1 contraction: per-partition union-find via ``mapInPandas``.
+
+    Each partition's edge set is replaced by a spanning star of every LOCAL
+    component (root = local min member) — connectivity-preserving and
+    node-preserving (every edge endpoint reappears as a star root or leaf),
+    so global CC over the contracted edges has identical components and
+    minima.  Long chains and dense blobs inside one partition collapse to
+    depth 1 before any shuffle, cutting the number of global star rounds
+    (the per-round job latency is what dominates at small diameters).
+
+    Memory is bounded by the per-partition edge count (one dict entry per
+    non-root node), i.e. by ``spark.sql.files.maxPartitionBytes`` /
+    shuffle-partition sizing — the same budget any in-partition buffer has.
+    """
+    import pandas as pd
+
+    schema = e.schema
+
+    def run(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:          # path halving
+                parent[x], x = r, parent[x]
+            return r
+
+        for b in batches:
+            for u, v in zip(b["u"].tolist(), b["v"].tolist()):
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+        out_u, out_v = [], []
+        for x in list(parent):                    # keys = non-root nodes
+            out_u.append(find(x))
+            out_v.append(x)
+        if out_u:
+            yield pd.DataFrame({"u": out_u, "v": out_v})
+
+    return e.mapInPandas(run, schema=schema)
+
+
 def _checksum(e: DataFrame) -> tuple[int, int]:
     row = e.agg(
         F.count(F.lit(1)).alias("n"),
@@ -77,17 +124,24 @@ def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     cfg: DedupConfig = DEFAULT,
+    local_phase: bool = True,
 ) -> DataFrame:
     """edges(u, v) [+ optional nodes(id)] -> assignments (id, cluster_id).
 
     cluster_id = the minimum member id of the component (deterministic,
     matching the local union-find oracle).  Nodes present in ``nodes`` but in
     no edge become singleton clusters of themselves.
+
+    ``local_phase``: run the per-partition union-find contraction first
+    (two-phase CC) — same result, fewer global star rounds.
     """
     e = _canon(edges.select(F.col(edges.columns[0]).alias("u"),
                             F.col(edges.columns[1]).alias("v")))
+    if local_phase:
+        e = _local_contract(e)
     e = e.localCheckpoint(eager=True)
     prev = _checksum(e)
+    e_prev = e
     for it in range(cfg.cc_max_iterations):
         # checkpoint EVERY round (AQE re-plans per action, which defeats
         # shuffle-stage reuse across jobs — without materialization each
@@ -96,8 +150,16 @@ def connected_components(
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _checksum(e)
         if cur == prev:
-            break
+            # The checksum (count + sum of xxhash64(u,v)) is probabilistic:
+            # two DIFFERENT edge sets collide with p ~ 2^-64 per round.
+            # Before declaring the fixpoint, CONFIRM with an exact
+            # symmetric-difference check over the two already-materialized
+            # checkpoints — one extra cheap job at the end makes
+            # convergence sound, not just astronomically likely.
+            if e.exceptAll(e_prev).unionAll(e_prev.exceptAll(e)).isEmpty():
+                break
         prev = cur
+        e_prev = e
     else:
         raise RuntimeError("connected components did not converge")
 

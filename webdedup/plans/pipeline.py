@@ -30,6 +30,7 @@ class PipelineResult:
     cluster_sizes: DataFrame
     stage_seconds: dict[str, float] = field(default_factory=dict)
     stage_rows: dict[str, int] = field(default_factory=dict)
+    report: DataFrame | None = None
 
 
 def run(
@@ -41,6 +42,7 @@ def run(
     simhash_scheme: str = "combo",
     id_col: str = "url",
     record_metrics: bool = True,
+    truth_pairs: DataFrame | None = None,
 ) -> PipelineResult:
     """pages: web_pages-shaped input (url, warc_ts, html[, text], lang).
 
@@ -48,6 +50,11 @@ def run(
     (stage ``documents``).  Every stage is materialized as a parquet stage
     table in ``work_dir``; with ``resume=True`` completed stages are read
     back instead of recomputed (checkpoint-resumable restarts, north_rule).
+
+    ``truth_pairs``: optional golden (a, b) url pair frame; when given, the
+    final ``report`` stage table includes pairwise precision/recall/f1 of
+    the clustering against it — the analog of the reference's
+    ``evaluation_full.json`` (``run_pipeline.py:504-505``).
     """
     spark = pages.sparkSession
     times: dict[str, float] = {}
@@ -64,7 +71,9 @@ def run(
         # AQE coalesces small shuffles to few partitions, which would starve
         # downstream UDF stages of parallelism; re-expand cheap small tables.
         # (At production scale stage tables have >> `par` files anyway.)
-        if df.rdd.getNumPartitions() < par:
+        # File count stands in for partition count: stage tables are parquet
+        # reads, and this avoids a driver-side RDD conversion per stage.
+        if len(df.inputFiles()) < par:
             df = df.repartition(par)
         n = checkpoint.row_count(work_dir, name)  # footer metadata, no job
         dt = time.time() - t0
@@ -121,15 +130,23 @@ def run(
             return e.select(F.col("a").alias("u"), F.col("b").alias("v"))
         edge_frames.append(stage("edges_simhash", _sim))
     if "minhash" in matchers:
-        edge_frames.append(stage(
-            "edges_minhash",
-            lambda: minhash_lsh.minhash_pairs(
+        def _min():
+            # signature-estimate prefilter (minhash_search.py:81-83) before
+            # the exact exploded verify: cheap zip_with over signatures the
+            # join already carries; 3σ under the verify threshold, so the
+            # golden recall gate is untouched (tests/test_pipeline.py)
+            est_cut = max(0.0, cfg.jaccard_threshold - 0.15)
+            e, overflow = minhash_lsh.minhash_edges(
                 docs, cfg=cfg, threshold=cfg.jaccard_threshold,
-                skew_mode="salt",
+                skew_mode="salt", est_prefilter=est_cut,
                 sigs=sigs.select("id", "minhash"),
-                sets=sigs.select("id", "shingles"),
-            ).select(F.col("a").alias("u"), F.col("b").alias("v")),
-        ))
+                sets=sigs.select("id", "shingles"))
+            checkpoint.write(
+                overflow.groupBy("table_id", "band_key")
+                .agg(F.count(F.lit(1)).alias("n_overflow")),
+                work_dir, "minhash_bucket_overflow")
+            return e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        edge_frames.append(stage("edges_minhash", _min))
     if "substring" in matchers:
         edge_frames.append(stage(
             "edges_substring",
@@ -163,4 +180,23 @@ def run(
     sizes = stage("cluster_sizes", lambda: cluster_sizes(
         assignments.select(F.col("doc_id").alias("id"), "cluster_id")))
 
-    return PipelineResult(assignments, reps, sizes, times, rows)
+    # 5. evaluation report (reference: evaluator.py:68-83 ->
+    # evaluation_full.json): one long-form (metric, value) table combining
+    # stage timings/rows with pairwise eval when ground truth is supplied.
+    def _report():
+        kv = [(f"wall_sec/{k}", float(v)) for k, v in times.items()]
+        kv += [(f"rows/{k}", float(v)) for k, v in rows.items()]
+        py_mb, jvm_mb = metrics.peak_memory_mb(spark)
+        kv += [("peak_rss_mb", py_mb), ("jvm_heap_mb", jvm_mb)]
+        if truth_pairs is not None:
+            from webdedup.operators.evaluate import (
+                cluster_pairs, pairwise_metrics,
+            )
+            pred = cluster_pairs(assignments.select("cluster_id", "id"))
+            m = pairwise_metrics(pred, truth_pairs)
+            kv += [(f"eval/{k}", float(v)) for k, v in m.items()]
+        return spark.createDataFrame(kv, "metric string, value double")
+
+    report = stage("report", _report)
+
+    return PipelineResult(assignments, reps, sizes, times, rows, report)

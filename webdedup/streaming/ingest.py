@@ -44,15 +44,23 @@ def enrich_stream(pages: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
 
 
 def dedup_stream(enriched: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Suppress exact duplicates within the watermark window.
+    """Suppress exact duplicates within the watermark window — the streaming
+    analog of the exact-dedup hash-agg A1.
 
-    ``dropDuplicates`` on a streaming frame keeps per-key state; the
-    watermark bounds that state (late pages beyond it are dropped) — this is
-    the streaming analog of the exact-dedup hash-agg A1.
+    Uses ``dropDuplicatesWithinWatermark``: per-key state is EVICTED once
+    the event-time watermark passes a key's first-seen time + delay, so a
+    long-running stream holds state only for the trailing window.  (Plain
+    ``dropDuplicates(['content_sha'])`` would IGNORE the watermark here —
+    Spark only applies watermark-based eviction to dedup state when the
+    event-time column is part of the key subset — and state would grow
+    unboundedly.)  The contract is correspondingly windowed: a re-crawl of
+    the same page more than ``watermark`` after the original is emitted
+    again; the periodic batch pipeline's global exact matcher collapses
+    those — the standard streaming/batch split for web-scale dedup.
     """
     return (
         enriched.withWatermark("warc_ts", watermark)
-        .dropDuplicates(["content_sha"])
+        .dropDuplicatesWithinWatermark(["content_sha"])
     )
 
 
