@@ -31,10 +31,18 @@ TOKEN_SPLIT_SQL_RE = r"[\s\x0b]+"           # RE2 (DuckDB side): \s lacks \x0b
 
 _ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")  # == Java \s, engine-independent
 
+# str.split() treats \x1c-\x1f (FS/GS/RS/US) as whitespace; Java \s does not.
+# Those four are the ONLY ASCII chars where the two disagree, so ASCII text
+# without them can take the C-speed str.split fast path (regex splitting
+# measured ~2.6x slower on the signature stage end-to-end).
+_SPLIT_DISAGREE = re.compile(r"[\x1c-\x1f]")
+
 
 # --- Python -----------------------------------------------------------------
 
 def tokenize_py(text: str) -> list[str]:
+    if text.isascii() and _SPLIT_DISAGREE.search(text) is None:
+        return text.lower().split()
     return [t for t in _ASCII_WS.split(text.lower()) if t]
 
 

@@ -121,6 +121,11 @@ def lsh_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
     """
     sig = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
                     vector_simhash_udf(cfg)(F.col(vec_col)).alias("sig"))
+    # norms once per VECTOR here (n rows), not per candidate PAIR below
+    # (~n^2/selectivity rows): Spark's array fold is a per-row interpreted
+    # higher-order function, so shaving 2 of the 3 folds per pair is ~3x on
+    # the verify stage
+    sig = with_norm(sig, "vec", "nrm")
     sig = sig.localCheckpoint(eager=False)  # UDF shared by band + verify arms
     width = cfg.hyperplane_bits // bands
 
@@ -149,11 +154,11 @@ def lsh_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
         .select("a", "b")
         .distinct()
     )
-    va = sig.select(F.col("id").alias("a"), F.col("vec").alias("va"))
-    vb = sig.select(F.col("id").alias("b"), F.col("vec").alias("vb"))
-    na = F.sqrt(_dot(F.col("va"), F.col("va")))
-    nb = F.sqrt(_dot(F.col("vb"), F.col("vb")))
-    cos = _dot(F.col("va"), F.col("vb")) / (na * nb)
+    va = sig.select(F.col("id").alias("a"), F.col("vec").alias("va"),
+                    F.col("nrm").alias("na"))
+    vb = sig.select(F.col("id").alias("b"), F.col("vec").alias("vb"),
+                    F.col("nrm").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         cands.join(va, "a").join(vb, "b")
         .withColumn("cosine", F.round(cos, 6))

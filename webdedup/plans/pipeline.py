@@ -183,6 +183,8 @@ def run(
     # 5. evaluation report (reference: evaluator.py:68-83 ->
     # evaluation_full.json): one long-form (metric, value) table combining
     # stage timings/rows with pairwise eval when ground truth is supplied.
+    # Skipped entirely when metrics are off and no truth is given (bench
+    # timing runs measure the dedup work, not optional reporting).
     def _report():
         kv = [(f"wall_sec/{k}", float(v)) for k, v in times.items()]
         kv += [(f"rows/{k}", float(v)) for k, v in rows.items()]
@@ -197,6 +199,7 @@ def run(
             kv += [(f"eval/{k}", float(v)) for k, v in m.items()]
         return spark.createDataFrame(kv, "metric string, value double")
 
-    report = stage("report", _report)
+    report = (stage("report", _report)
+              if (record_metrics or truth_pairs is not None) else None)
 
     return PipelineResult(assignments, reps, sizes, times, rows, report)
