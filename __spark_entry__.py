@@ -315,6 +315,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ~0.45 -> ~0.92 at threshold 0.3 (see tests/test_matchers.py sweep)
     q["lsh_cosine_pairs"] = lambda s, d: similarity.lsh_cosine_pairs(
         _emb(s, d), threshold=0.3, cfg=CFG, probe_bits=1)
+    # second ANN index type (faiss IndexIVFFlat analog, nprobe dial):
+    # md5-sampled centroids make it deterministic => oracle-checked too
+    q["ivf_cosine_pairs"] = lambda s, d: similarity.ivf_cosine_pairs(
+        _emb(s, d), threshold=0.3, k_centroids=16, nprobe=2)
 
     return q
 
@@ -355,5 +359,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_signatures": oracle_sql_mod.vector_signatures(CFG),
         "lsh_cosine_pairs": oracle_sql_mod.lsh_cosine_pairs(
             0.3, CFG, bands=4, probe_bits=1),
+        "ivf_cosine_pairs": oracle_sql_mod.ivf_cosine_pairs(
+            0.3, k_centroids=16, nprobe=2),
     }
 

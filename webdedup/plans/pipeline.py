@@ -70,10 +70,12 @@ def run(
                                           resume=resume, partitions=par))
         # AQE coalesces small shuffles to few partitions, which would starve
         # downstream UDF stages of parallelism; re-expand cheap small tables.
-        # (At production scale stage tables have >> `par` files anyway.)
-        # File count stands in for partition count: stage tables are parquet
-        # reads, and this avoids a driver-side RDD conversion per stage.
-        if len(df.inputFiles()) < par:
+        # (At production scale stage tables have >> `par` partitions anyway.)
+        # NOTE: this must probe ACTUAL partitions (.rdd), not file count —
+        # the scan packs small files together (openCostInBytes), so a table
+        # with `par` files can still arrive as ONE scan partition; probing
+        # inputFiles() here silently serialized downstream UDF stages.
+        if df.rdd.getNumPartitions() < par:
             df = df.repartition(par)
         n = checkpoint.row_count(work_dir, name)  # footer metadata, no job
         dt = time.time() - t0

@@ -1,0 +1,121 @@
+"""Incremental near-dup matching: LSH-match each micro-batch against the
+accumulated signature store — no recluster of history per batch.
+
+Reference analog: the upload path's "find duplicates of ONE new image by
+probing the existing index" (``api_server.py`` upload endpoint ->
+``simhash.cpp:229-247`` query scan), generalized to batch-at-a-time and
+re-expressed as joins.
+
+Lambda split (see ``streaming/ingest.py``): global fixpoints (connected
+components, representative election) stay batch; this layer keeps a
+continuously-fresh *candidate edge stream* at O(batch x collision) cost:
+
+  readStream -> enrich (text, content_sha, simhash) -> foreachBatch:
+    1. band the BATCH fingerprints with the same block-combo scheme the
+       batch pipeline uses, equi-join against the banded STORE (new x old)
+       plus the batch against itself (new x new) — never old x old;
+    2. verify candidates with exact Hamming <= threshold;
+    3. append verified pairs, partitioned by batch id;
+    4. append the batch's signatures to the store, partitioned by batch id.
+
+Idempotence on retry: both writes use dynamic partition overwrite keyed by
+``_batch_id`` — a replayed micro-batch overwrites ITS OWN partition instead
+of appending duplicates, giving effectively-once output on top of the
+checkpointed source offsets (the parquet stand-in for an Iceberg
+``MERGE``/``overwritePartitions`` commit).
+
+At 10^12-doc scale the store's band table is the thing to materialize
+(bucketed by ``(table_id, band_key)``) so each micro-batch probe is a
+bucket-pruned join; here the store is re-banded per batch, which is the
+same plan without the bucketing shortcut.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from webdedup.config import DedupConfig, DEFAULT
+from webdedup.operators import simhash_lsh
+from webdedup.streaming.ingest import enrich_stream, read_page_stream
+
+SIG_STORE = "sig_store.parquet"
+PAIRS_TABLE = "incremental_pairs.parquet"
+
+
+def match_new_against_store(new_sigs: DataFrame, store: DataFrame | None,
+                            cfg: DedupConfig = DEFAULT,
+                            scheme: str = "combo") -> DataFrame:
+    """(a, b, hamming): a from the new batch, b from batch ∪ store.
+
+    new x old is a band equi-join of the (small) batch band table against
+    the store's; new x new is the ordinary self-join candidate step.  Old x
+    old pairs were emitted when those docs were themselves new, so the union
+    over batches covers exactly every qualifying pair once (canonicalized).
+    """
+    nb = simhash_lsh.simhash_bands(new_sigs, cfg, scheme)
+    new_new = simhash_lsh.band_candidates(nb)
+    sigs_all = new_sigs
+    if store is not None:
+        ob = simhash_lsh.simhash_bands(store, cfg, scheme)
+        new_old = (
+            nb.select(F.col("id").alias("a"), "table_id", "band_key")
+            .join(ob.select(F.col("id").alias("b"), "table_id", "band_key"),
+                  ["table_id", "band_key"])
+            .select("a", "b")
+            .distinct()
+        )
+        cands = new_new.unionByName(new_old)
+        sigs_all = new_sigs.unionByName(store)
+    else:
+        cands = new_new
+    # canonicalize AFTER the join so (new, old) and (old, new) collapse
+    cands = (cands.select(F.least("a", "b").alias("a"),
+                          F.greatest("a", "b").alias("b"))
+             .filter(F.col("a") != F.col("b")).distinct())
+    return simhash_lsh.hamming_verify(cands, sigs_all, cfg.hamming_threshold)
+
+
+def incremental_dedup(spark: SparkSession, input_dir: str, work_dir: str,
+                      checkpoint_dir: str, cfg: DedupConfig = DEFAULT,
+                      scheme: str = "combo",
+                      max_files_per_trigger: int = 1, once: bool = True):
+    """Run the incremental matcher over a page-drop directory stream.
+
+    Returns the StreamingQuery; pair/store tables land under ``work_dir``.
+    """
+    store_path = os.path.join(work_dir, SIG_STORE)
+    pairs_path = os.path.join(work_dir, PAIRS_TABLE)
+
+    enriched = enrich_stream(
+        read_page_stream(spark, input_dir, max_files_per_trigger), cfg)
+
+    def _store_ready() -> bool:
+        # the dynamic-partition-overwrite committer moves finished partition
+        # dirs into place but writes NO root _SUCCESS marker — probe for
+        # committed partitions instead (an Iceberg snapshot lookup in prod)
+        return os.path.isdir(store_path) and any(
+            f.startswith("_batch_id=") for f in os.listdir(store_path))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        new_sigs = (batch_df.select(F.col("url").alias("id"), "simhash")
+                    .localCheckpoint(eager=True))  # one UDF pass per batch
+        store = (spark.read.parquet(store_path).select("id", "simhash")
+                 if _store_ready() else None)
+        pairs = match_new_against_store(new_sigs, store, cfg, scheme)
+        (pairs.withColumn("_batch_id", F.lit(batch_id))
+         .repartition(1).write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id").parquet(pairs_path))
+        (new_sigs.withColumn("_batch_id", F.lit(batch_id))
+         .repartition(1).write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id").parquet(store_path))
+
+    writer = (enriched.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if once:
+        return writer.trigger(availableNow=True).start()
+    return writer.trigger(processingTime="10 seconds").start()
