@@ -85,3 +85,30 @@ def test_minhash_permutation_bounds(shingle_tokens):
     if len(shingle_tokens) > 1:
         vals2 = vals[:, :-1]
         assert (vals2.min(axis=1) >= sig).all()
+
+
+# unicode whitespace + control chars: the fast path (str.split) and the
+# regex path must agree with each other AND with the DuckDB oracle pattern
+# for arbitrary text, including the \x1c-\x1f chars where str.split lies
+_wild = st.text(
+    alphabet=st.sampled_from(
+        list("ab c\t\n\x0b\f\r") + ["\xa0", "\x85", " ", "　",
+                                    "\x1c", "\x1d", "\x1e", "\x1f", "é", "田"]),
+    min_size=0, max_size=40)
+
+
+@given(_wild)
+@settings(max_examples=80, deadline=None)
+def test_tokenize_fast_path_equals_regex_path(t):
+    import re
+    slow = [x for x in re.split(r"[ \t\n\x0b\f\r]+", t.lower()) if x]
+    assert tokenize_py(t) == slow
+
+
+@given(_wild)
+@settings(max_examples=40, deadline=None)
+def test_tokenize_python_duckdb_parity_wild(t):
+    from webdedup.functions.tokenize import tokens_sql
+    con = duckdb.connect()
+    got = con.sql(f"select {tokens_sql('?')}", params=[t]).fetchone()[0]
+    assert got == tokenize_py(t)
