@@ -75,3 +75,24 @@ def test_two_phase_string_ids(spark):
            for r in connected_components(edf, cfg=CFG).collect()}
     assert got == {"u/a": "u/a", "u/b": "u/a", "u/c": "u/a",
                    "x/p": "x/p", "x/q": "x/p"}
+
+
+def test_contract_then_star_rounds_path(spark):
+    """Force the at-scale path (contraction + iterated star rounds) by
+    setting the local-finish cutoff to 0; must equal the local-finish
+    result and the oracle."""
+    from dataclasses import replace
+    import random as _r
+    rng = _r.Random(11)
+    nodes = list(range(300))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(260)]
+    edf = spark.createDataFrame(edges, ["u", "v"]).repartition(8)
+    big_cfg = replace(CFG, cc_local_finish_max_edges=0)
+    a = {r["id"]: r["cluster_id"] for r in
+         connected_components(edf, cfg=big_cfg, local_phase=True).collect()}
+    b = {r["id"]: r["cluster_id"] for r in
+         connected_components(edf, cfg=CFG, local_phase=True).collect()}
+    exp = oracle.union_find_clusters(
+        sorted({u for e in edges for u in e}),
+        {(min(u, v), max(u, v)) for u, v in edges if u != v})
+    assert a == b == {i: exp[i] for i in a}

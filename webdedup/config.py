@@ -61,6 +61,12 @@ class DedupConfig:
     # --- connected components ---
     cc_max_iterations: int = 50
     cc_checkpoint_every: int = 3
+    # after the per-partition contraction, graphs at or below this many
+    # edges are finished by ONE single-task union-find instead of iterated
+    # global star rounds (~32 MB of long pairs on one core — the classic
+    # contract-then-solve-locally cutoff; at web scale the iterative path
+    # engages automatically)
+    cc_local_finish_max_edges: int = 2_000_000
 
     def __post_init__(self) -> None:
         assert self.minhash_bands * self.minhash_rows == self.minhash_perms

@@ -137,9 +137,44 @@ def connected_components(
     """
     e = _canon(edges.select(F.col(edges.columns[0]).alias("u"),
                             F.col(edges.columns[1]).alias("v")))
+    solved = False
     if local_phase:
-        e = _local_contract(e)
-    e = e.localCheckpoint(eager=True)
+        e = _local_contract(e).localCheckpoint(eager=False)
+        n_edges = e.count()  # one job: materialize + size the contraction
+        if n_edges <= cfg.cc_local_finish_max_edges:
+            # contract-then-solve-locally: the whole contracted graph fits
+            # one task, so a second union-find pass over ONE partition
+            # yields the final component-min stars directly — no iterated
+            # global rounds, no per-round job latency.  (The iterative path
+            # below remains the route whenever the contraction is still
+            # large — the cutoff is edge count, not input size.)
+            e = _local_contract(e.coalesce(1)).localCheckpoint(eager=True)
+            solved = True
+    if not solved:
+        if not local_phase:
+            e = e.localCheckpoint(eager=True)  # contraction already did
+        e = _star_rounds(e, cfg)
+
+    assign = (
+        e.select(F.col("v").alias("id"), F.col("u").alias("cluster_id"))
+        .unionByName(
+            e.select(F.col("u").alias("id"), F.col("u").alias("cluster_id"))
+        )
+        .groupBy("id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    if nodes is not None:
+        nid = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
+        assign = (
+            nid.join(assign, "id", "left")
+            .select("id", F.coalesce("cluster_id", "id").alias("cluster_id"))
+        )
+    return assign
+
+
+def _star_rounds(e: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Alternating large-star/small-star fixpoint (the at-scale path).
+    ``e`` must be materialized (checkpointed) by the caller."""
     prev = _checksum(e)
     e_prev = e
     for it in range(cfg.cc_max_iterations):
@@ -162,19 +197,4 @@ def connected_components(
         e_prev = e
     else:
         raise RuntimeError("connected components did not converge")
-
-    assign = (
-        e.select(F.col("v").alias("id"), F.col("u").alias("cluster_id"))
-        .unionByName(
-            e.select(F.col("u").alias("id"), F.col("u").alias("cluster_id"))
-        )
-        .groupBy("id")
-        .agg(F.min("cluster_id").alias("cluster_id"))
-    )
-    if nodes is not None:
-        nid = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
-        assign = (
-            nid.join(assign, "id", "left")
-            .select("id", F.coalesce("cluster_id", "id").alias("cluster_id"))
-        )
-    return assign
+    return e
