@@ -114,13 +114,9 @@ def run_headline() -> tuple[dict[str, float], float]:
     # warm the session once (JVM codegen + Python worker fork + Arrow init)
     # so the first query measures ITS cost, not session startup; the
     # warmup work is trivial and unrelated to any headline query
-    import pandas as pd  # noqa: F401
-    from pyspark.sql import functions as F
-
-    @F.pandas_udf("long")
-    def _warm(s: "pd.Series") -> "pd.Series":
-        return s
-    spark.range(1000).select(F.sum(_warm(F.col("id")))).collect()
+    def _warm(batches):
+        yield from batches  # identity pass: forks workers, inits Arrow
+    spark.range(1000).repartition(4).mapInPandas(_warm, "id long").count()
 
     qs = entrymod.queries()
     out: dict[str, float] = {}
