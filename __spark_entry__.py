@@ -191,6 +191,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["representatives"] = _reps
 
+    # cluster collection A4 (run_pipeline.py:213-217's list-of-lists JSON,
+    # bounded): deterministic sorted member lists for multi-member clusters
+    def _dupsets(s: SparkSession, d: str) -> DataFrame:
+        from webdedup.operators.represent import duplicate_sets
+        assign = _assignments(s, d).select(
+            F.col("doc_id").alias("id"), "cluster_id")
+        # member list serialized to one string: the driver's cross-engine
+        # value hash normalizes scalars, not arrays
+        return duplicate_sets(assign).withColumn(
+            "member_ids", F.array_join("member_ids", ","))
+
+    q["duplicate_sets"] = _dupsets
+
     # --- end-to-end evaluation report (evaluator.py:33-63 / A5) ---
     # predicted = intra-cluster pairs of the union-of-matchers clustering;
     # truth = the matched pair set itself.  recall == 1.0 is the driver-
@@ -344,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_pairs": oracle_sql_mod.substring_pairs(CFG),
         "cluster_assignments": oracle_sql_mod.cluster_assignments(CFG),
         "pipeline_eval": oracle_sql_mod.pipeline_eval(CFG),
+        "duplicate_sets": oracle_sql_mod.duplicate_sets(CFG),
         "representatives": oracle_sql_mod.representatives(CFG),
         "source_labels": oracle_sql_mod.source_labels(),
         "embedding_norms": oracle_sql_mod.embedding_norms(),

@@ -53,7 +53,8 @@ HEADLINE = [
     "token_stats", "quality_scores", "lang_id", "doc_fingerprint",
     "simhash64", "simhash_pairs_combo", "minhash_lsh_pairs",
     "minhash_est_jaccard", "jaccard_pairs", "substring_pairs",
-    "cluster_assignments", "representatives", "pipeline_eval",
+    "cluster_assignments", "representatives", "duplicate_sets",
+    "pipeline_eval",
     "vector_signatures", "lsh_cosine_pairs",
 ]
 

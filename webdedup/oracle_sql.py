@@ -451,6 +451,19 @@ FROM r
 """
 
 
+def duplicate_sets(cfg: DedupConfig = DEFAULT, max_members: int = 1000) -> str:
+    """Twin of ``represent.duplicate_sets``: bounded sorted member lists of
+    multi-member clusters (``run_pipeline.py:213-217``'s cluster JSON)."""
+    return f"""
+WITH assignments AS ({cluster_assignments(cfg)})
+SELECT cluster_id,
+       count(*)::BIGINT AS n_members,
+       array_to_string((list(doc_id ORDER BY doc_id))[1:{max_members}], ',')
+         AS member_ids
+FROM assignments GROUP BY 1 HAVING count(*) > 1
+"""
+
+
 def representatives(cfg: DedupConfig = DEFAULT) -> str:
     return f"""
 WITH assignments AS ({cluster_assignments(cfg)})
