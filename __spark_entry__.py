@@ -324,10 +324,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # far above float64 associativity noise, so signs agree bit-for-bit)
     q["vector_signatures"] = lambda s, d: similarity.vector_signatures(
         _emb(s, d), cfg=CFG)
-    # probe_bits=1 multi-probe: recall vs exact cosine_dup_pairs rises
-    # ~0.45 -> ~0.92 at threshold 0.3 (see tests/test_matchers.py sweep)
+    # 64-bit signature, 8 bands x 8 bits, probe_bits=2 multi-probe (recall
+    # ~0.96 at threshold 0.3 — see tests/test_matchers.py sweep), verified
+    # by per-bucket numpy matmul (candidates never materialized).  At this
+    # low threshold the LSH ρ-bound makes ANY >=0.9-recall config admit
+    # ~60-70% of random pairs (PLANS.md §11); the blocked verify makes that
+    # regime cheap, while probe_bits=0 is the scalable high-threshold mode.
     q["lsh_cosine_pairs"] = lambda s, d: similarity.lsh_cosine_pairs(
-        _emb(s, d), threshold=0.3, cfg=CFG, probe_bits=1)
+        _emb(s, d), threshold=0.3, cfg=CFG,
+        bands=CFG.hyperplane_bands, probe_bits=CFG.hyperplane_probe_bits)
     # second ANN index type (faiss IndexIVFFlat analog, nprobe dial):
     # md5-sampled centroids make it deterministic => oracle-checked too
     q["ivf_cosine_pairs"] = lambda s, d: similarity.ivf_cosine_pairs(
@@ -372,7 +377,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_dup_pairs": oracle_sql_mod.cosine_pairs(0.3),
         "vector_signatures": oracle_sql_mod.vector_signatures(CFG),
         "lsh_cosine_pairs": oracle_sql_mod.lsh_cosine_pairs(
-            0.3, CFG, bands=4, probe_bits=1),
+            0.3, CFG, bands=CFG.hyperplane_bands,
+            probe_bits=CFG.hyperplane_probe_bits),
         "ivf_cosine_pairs": oracle_sql_mod.ivf_cosine_pairs(
             0.3, k_centroids=16, nprobe=2),
     }

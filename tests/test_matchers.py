@@ -101,15 +101,36 @@ def test_lsh_cosine_recall_sweep(spark):
     exact_pairs = _pairset(similarity.cosine_pairs(emb, threshold=0.3))
     assert exact_pairs, "fixture must have >=1 pair above threshold"
     recalls = {}
-    for probe in (0, 1):
+    for probe in (0, 1, 2):
         got = _pairset(similarity.lsh_cosine_pairs(
             emb, threshold=0.3, cfg=CFG, probe_bits=probe))
         assert got <= exact_pairs, "cosine verify admits only true pairs"
         recalls[probe] = len(got) / len(exact_pairs)
-    assert recalls[1] > recalls[0], f"multi-probe must raise recall {recalls}"
-    assert recalls[1] >= 0.90, f"probe_bits=1 recall {recalls[1]:.3f}"
-    # at the production threshold (0.9) even probe 0 is designed for ~0.95;
-    # the 0.3-threshold regime here is the stress case from the fixtures
+    assert recalls[0] < recalls[1] < recalls[2], \
+        f"multi-probe must raise recall {recalls}"
+    assert recalls[2] >= 0.90, f"probe_bits=2 recall {recalls[2]:.3f}"
+    # at the production threshold (0.9) even probe 0 is designed for ~0.87
+    # recall at 3% random-pair mass; the 0.3-threshold regime here is the
+    # ρ-bound stress case (PLANS.md §11)
+
+
+def test_lsh_cosine_blocked_equals_fold(spark):
+    """The per-bucket-matmul verify and the candidate-join Catalyst-fold
+    verify are two physical plans for the SAME operator — identical output
+    (pairs AND rounded cosines) at every probe level."""
+    from webdedup.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    for probe in (0, 2):
+        blocked = {(r["a"], r["b"]): r["cosine"] for r in
+                   similarity.lsh_cosine_pairs(
+                       emb, threshold=0.3, cfg=CFG, probe_bits=probe,
+                       verify="blocked").collect()}
+        fold = {(r["a"], r["b"]): r["cosine"] for r in
+                similarity.lsh_cosine_pairs(
+                    emb, threshold=0.3, cfg=CFG, probe_bits=probe,
+                    verify="fold").collect()}
+        assert blocked == fold, (probe, len(blocked), len(fold))
 
 
 def test_minhash_est_prefilter_keeps_recall(docs, corpus_texts):

@@ -50,7 +50,15 @@ class DedupConfig:
     embedding_dim: int = 64
     cosine_threshold: float = 0.90
     topk: int = 10
-    hyperplane_bits: int = 16     # random-hyperplane LSH for embeddings
+    # random-hyperplane LSH for embeddings: 64-bit signature split into 8
+    # bands of 8 bits.  Per-band collision for UNCORRELATED vectors is 2^-8
+    # (vs 2^-4 with the old 16-bit/4-band split, which at low thresholds
+    # degenerated to near-brute-force); probe_bits widens the left arm to
+    # all band keys within that Hamming distance (true multi-bit probing,
+    # C(8,1)+C(8,2)=36 extra keys at probe_bits=2).
+    hyperplane_bits: int = 64
+    hyperplane_bands: int = 8
+    hyperplane_probe_bits: int = 2
 
     # --- skew / scale controls ---
     max_bucket_size: int = 200    # cap: quarantine LSH buckets larger than this
@@ -63,10 +71,17 @@ class DedupConfig:
     cc_checkpoint_every: int = 3
     # after the per-partition contraction, graphs at or below this many
     # edges are finished by ONE single-task union-find instead of iterated
-    # global star rounds (~32 MB of long pairs on one core — the classic
-    # contract-then-solve-locally cutoff; at web scale the iterative path
-    # engages automatically)
+    # global star rounds (the classic contract-then-solve-locally cutoff; at
+    # web scale the iterative path engages automatically).  The cutoff is
+    # sized for LONG ids (2M edges ~ 32 MB of id pairs + the union-find
+    # dict); ``connected_components`` derates it automatically when ids are
+    # strings (per-edge bytes estimated from a sample — see components.py),
+    # so a url-keyed graph cannot OOM the single local-finish task.
     cc_local_finish_max_edges: int = 2_000_000
+    # memory budget for the single-task local finish (edges x est. row
+    # bytes); the effective edge cutoff is min(cc_local_finish_max_edges,
+    # budget / est_row_bytes)
+    cc_local_finish_max_bytes: int = 64_000_000
 
     def __post_init__(self) -> None:
         assert self.minhash_bands * self.minhash_rows == self.minhash_perms
@@ -74,6 +89,7 @@ class DedupConfig:
         assert self.simhash_bands > self.hamming_threshold, (
             "bands must exceed hamming threshold for recall-1.0 bit sampling"
         )
+        assert self.hyperplane_bits % self.hyperplane_bands == 0
 
 
 DEFAULT = DedupConfig()

@@ -128,8 +128,10 @@ def vector_simhash_udf(cfg: DedupConfig = DEFAULT) -> Column:
     def _udf(vecs: pd.Series) -> pd.Series:
         X = np.stack(vecs.to_numpy()).astype(np.float64)   # (batch, dim)
         bits = (X @ planes.T) > 0                          # (batch, nbits)
-        weights = (1 << np.arange(nbits, dtype=np.int64))
-        packed = (bits.astype(np.int64) * weights).sum(axis=1)
+        # pack in uint64 (bit 63 would overflow int64 weights), then view
+        # as two's-complement signed — Spark LongType semantics
+        weights = np.uint64(1) << np.arange(nbits, dtype=np.uint64)
+        packed = (bits.astype(np.uint64) * weights).sum(axis=1).view(np.int64)
         return pd.Series(packed)
 
     return _udf

@@ -42,11 +42,9 @@ def minhash_bands(sigs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
     (The DuckDB twin of the *banded candidates* does exist —
     ``oracle_sql._minhash_band_ctes`` expresses band membership as slice
     equality, which is what the xxhash64 key encodes.)"""
-    # explode fan-out guard — see simhash_lsh.simhash_bands
-    n_part = int(sigs.sparkSession.conf.get("spark.sql.shuffle.partitions",
-                                            "32"))
-    if sigs.rdd.getNumPartitions() < n_part:
-        sigs = sigs.repartition(n_part)
+    # explode fan-out guard — see plans.partitions
+    from webdedup.plans.partitions import ensure_min_partitions
+    sigs = ensure_min_partitions(sigs)
     r = cfg.minhash_rows
     bands = F.array(*[
         F.struct(

@@ -62,12 +62,9 @@ def simhash_bands(sigs: DataFrame, cfg: DedupConfig = DEFAULT,
     # if AQE coalesced the upstream (tiny) frame to 1-2 partitions, the whole
     # band table + candidate join would run on 1-2 tasks (measured: 1.67M
     # band rows on ONE task, bands+candidates scaling 1.6x at 4 cores).
-    # Re-expand ONLY when under-partitioned — at web scale the input already
-    # has >> shuffle.partitions partitions and this is a no-op.
-    n_part = int(sigs.sparkSession.conf.get("spark.sql.shuffle.partitions",
-                                            "32"))
-    if sigs.rdd.getNumPartitions() < n_part:
-        sigs = sigs.repartition(n_part)
+    # Re-expand ONLY when under-partitioned — see plans.partitions.
+    from webdedup.plans.partitions import ensure_min_partitions
+    sigs = ensure_min_partitions(sigs)
     width = cfg.simhash_bits // cfg.simhash_bands
     blocks = [_block(F.col("simhash"), i, width) for i in range(cfg.simhash_bands)]
     if scheme == "single":

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from webdedup.config import DedupConfig, DEFAULT
 from webdedup.functions.signatures import vector_simhash_udf
+from webdedup.plans.partitions import ensure_min_partitions
 
 
 def _dot(a, b):
@@ -90,64 +91,94 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame | None = None,
     )
 
 
+def _probe_masks(width: int, radius: int) -> list[int]:
+    """All XOR masks of Hamming weight <= radius over ``width`` bits.
+
+    mask 0 (the exact key) comes first.  True multi-bit probing: radius 2
+    over 8 bits yields 1 + 8 + 28 = 37 masks — NOT just single-bit flips."""
+    from itertools import combinations
+    masks = [0]
+    for j in range(1, radius + 1):
+        for combo in combinations(range(width), j):
+            m = 0
+            for i in combo:
+                m |= 1 << i
+            masks.append(m)
+    return masks
+
+
 def lsh_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
                      vec_col: str = "embedding",
                      threshold: float = 0.9,
                      cfg: DedupConfig = DEFAULT,
-                     bands: int = 4,
-                     probe_bits: int = 0) -> DataFrame:
+                     bands: int | None = None,
+                     probe_bits: int | None = None,
+                     verify: str = "blocked") -> DataFrame:
     """Approximate cosine near-dup pairs: hyperplane signature -> band
-    buckets -> exact cosine on the deduped id pairs.
+    buckets (with multi-probe) -> exact cosine verify.
 
-    Plan shape (the 100 TB path): the band explode and the pair-dedup move
-    ONLY (id, band_id, band_key) longs; full embedding vectors are joined
-    back exactly once per side for the cosine verify — mirroring
-    ``simhash_lsh.hamming_verify``.  (The first cut carried two float-arrays
-    per row through ``dropDuplicates`` and spent 2/3 of the bench there.)
+    Candidate semantics (both verify modes, and the DuckDB twin): a pair is
+    a candidate iff SOME band of their hyperplane signatures differs in
+    <= ``probe_bits`` bits; survivors are pairs with rounded cosine >=
+    ``threshold``.
 
     Recall/cost dial — the analog of FAISS ``index_type``/``nprobe``
-    (``faiss_search.py:10-38``, ``run_pipeline.py:284-285``):
+    (``faiss_search.py:10-38``, ``run_pipeline.py:284-285``): with the
+    default 64-bit signature in 8 bands of 8 bits, a pair at angle θ
+    band-collides with prob p_b = Σ_{j<=probe} C(8,j)·p^(8-j)·(1-p)^j where
+    p = 1-θ/π.  At cosine 0.9 (θ≈26°, p≈0.86) probe_bits=0 already gives
+    ≥1-of-8 recall ≈ 0.87 and random-pair mass 8·2^-8 ≈ 3% — the scalable
+    design regime.  At cosine 0.3 (θ≈72°, p≈0.60) the LSH ρ-bound bites:
+    ANY config reaching recall >= 0.9 admits >= ~60% of random pairs (see
+    PLANS.md §11), so probe_bits=2 (fixture recall ≈ 0.96) is chosen and
+    the verify must be cheap per pair — hence ``verify='blocked'``.
 
-    - ``bands``: more bands of fewer bits => higher recall, more candidates.
-      With ``hyperplane_bits=16`` and 4 bands of 4 bits, a pair at angle θ
-      collides on a band with prob (1-θ/π)^4; at cosine 0.9 (θ≈26°) ≈ 0.53
-      per band → ≈ 0.95 for ≥1 of 4 bands.
-    - ``probe_bits``: multi-probe — the left arm ALSO probes every band key
-      within Hamming distance <= probe_bits of its own (width·probe extra
-      keys per band), catching pairs whose band keys almost agree.  At
-      cosine 0.3 (θ≈72°, per-bit p≈0.60) recall rises ≈0.42 → ≈0.92 for
-      probe_bits=1 at ~5x the candidate volume.  ``tests/test_matchers.py``
-      measures the sweep.
+    ``verify`` modes:
+
+    - ``'blocked'`` (default, the 100 TB path): vectors ride the band
+      explode and each bucket is verified as ONE numpy matmul inside
+      ``applyInPandas`` — the candidate set is NEVER materialized (no
+      quadratic distinct/shuffle; only survivors leave the bucket).  BLAS
+      does the pair-dots at ~0.5 ns each vs ~3 µs for a per-pair Catalyst
+      array fold.  Multi-probe replication is halved by splitting the probe
+      radius across both arms: rows probe masks of weight <= ceil(p/2) and
+      additionally serve as right-arm members when weight <= floor(p/2);
+      by the hypercube geodesic argument (∃k: d(a,k)<=p1 ∧ d(b,k)<=p2 ⟺
+      d(a,b) <= p1+p2) this covers EXACTLY Hamming <= probe_bits — 9 keys
+      per (vector, band) at probe_bits=2 instead of 37.
+    - ``'fold'``: the round-2 plan — ids-only band join, distinct (a, b),
+      vectors joined back once per side, cosine as a Catalyst ``aggregate``
+      fold.  Kept as the pure-Catalyst reference; same output bit-for-bit.
     """
-    # explode fan-out guard — see simhash_lsh.simhash_bands (a small
-    # embedding scan arrives in 1-2 partitions; bands explode 4-20x)
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
-                                          "32"))
-    if df.rdd.getNumPartitions() < n_part:
-        df = df.repartition(n_part)
+    if bands is None:
+        bands = cfg.hyperplane_bands
+    if probe_bits is None:
+        probe_bits = cfg.hyperplane_probe_bits
+    width = cfg.hyperplane_bits // bands
+    df = ensure_min_partitions(df)  # band explode fan-out guard
     sig = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
                     vector_simhash_udf(cfg)(F.col(vec_col)).alias("sig"))
-    # norms once per VECTOR here (n rows), not per candidate PAIR below
-    # (~n^2/selectivity rows): Spark's array fold is a per-row interpreted
-    # higher-order function, so shaving 2 of the 3 folds per pair is ~3x on
-    # the verify stage
+    if verify == "blocked":
+        return _lsh_blocked_verify(sig, df.schema[id_col].dataType,
+                                   threshold, bands, width, probe_bits)
+    if verify != "fold":
+        raise ValueError(verify)
+
+    # ---- legacy fold path: ids-only candidate join + Catalyst verify ----
+    # norms once per VECTOR (n rows), not per candidate PAIR (~n^2 rows):
+    # Spark's array fold is per-row interpreted, so shaving 2 of the 3
+    # folds per pair is ~3x on the verify stage
     sig = with_norm(sig, "vec", "nrm")
     sig = sig.localCheckpoint(eager=False)  # UDF shared by band + verify arms
-    width = cfg.hyperplane_bits // bands
 
-    def _keys(probe: int) -> list:
-        """band structs: exact key, plus probed (bit-flipped) keys."""
+    def _keys(radius: int) -> list:
         out = []
         for t in range(bands):
             key = (F.shiftrightunsigned(F.col("sig"), t * width)
                    .bitwiseAND(F.lit((1 << width) - 1)))
-            out.append(F.struct(F.lit(t).alias("band_id"),
-                                key.alias("band_key")))
-            if probe >= 1:
-                for i in range(width):
-                    out.append(F.struct(
-                        F.lit(t).alias("band_id"),
-                        key.bitwiseXOR(F.lit(1 << i)).alias("band_key")))
+            for m in _probe_masks(width, radius):
+                out.append(F.struct(F.lit(t).alias("band_id"),
+                                    key.bitwiseXOR(F.lit(m)).alias("band_key")))
         return out
 
     right = (sig.select("id", F.explode(F.array(*_keys(0))).alias("tb"))
@@ -171,6 +202,68 @@ def lsh_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+def _lsh_blocked_verify(sig: DataFrame, id_type, threshold: float,
+                        bands: int, width: int, probe_bits: int) -> DataFrame:
+    """Per-bucket matmul verify for ``lsh_cosine_pairs`` (see its docstring).
+
+    Bucket rows carry (id, vec, ex): every row probes the masks of weight
+    <= ceil(probe/2); ``ex`` marks rows whose mask weight <= floor(probe/2)
+    (right-arm eligible).  Inside a bucket ONE float64 gemm computes all
+    left x right dots; only pairs whose HALF_UP-6dp-rounded cosine clears
+    the threshold are emitted, then deduped globally (a pair can surface in
+    several bands/probe keys with the bitwise-identical raw cosine — the
+    gemm's K-dim summation order is fixed by dim, not by bucket shape).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    p_left = (probe_bits + 1) // 2
+    p_right = probe_bits // 2
+    masks = _probe_masks(width, p_left)
+    structs = []
+    for t in range(bands):
+        key = (F.shiftrightunsigned(F.col("sig"), t * width)
+               .bitwiseAND(F.lit((1 << width) - 1)))
+        for m in masks:
+            structs.append(F.struct(
+                F.lit(t).alias("band_id"),
+                key.bitwiseXOR(F.lit(m)).alias("band_key"),
+                F.lit(bin(m).count("1") <= p_right).alias("ex")))
+    exploded = (sig.select("id", "vec", F.explode(F.array(*structs)).alias("tb"))
+                .select("id", "vec", "tb.band_id", "tb.band_key", "tb.ex"))
+    out_schema = StructType([StructField("a", id_type),
+                             StructField("b", id_type),
+                             StructField("cosine", DoubleType())])
+    thr = float(threshold)
+
+    def _bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ex_mask = pdf["ex"].to_numpy()
+        ex = pdf[ex_mask]
+        if len(ex) == 0 or len(pdf) < 2:
+            return pd.DataFrame({"a": pdf["id"].iloc[:0],
+                                 "b": pdf["id"].iloc[:0],
+                                 "cosine": pd.Series([], dtype="float64")})
+        XL = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        XR = XL[ex_mask]
+        nl = np.sqrt((XL * XL).sum(axis=1))
+        cos = (XL @ XR.T) / np.outer(nl, nl[ex_mask])
+        r6 = np.floor(cos * 1e6 + 0.5) / 1e6   # HALF_UP; survivors are > 0
+        il, ir = np.nonzero(r6 >= thr)
+        ida = pdf["id"].to_numpy()[il]
+        idb = ex["id"].to_numpy()[ir]
+        keep = ida != idb
+        ida, idb, raw = ida[keep], idb[keep], cos[il, ir][keep]
+        return pd.DataFrame({"a": np.minimum(ida, idb),
+                             "b": np.maximum(ida, idb),
+                             "cosine": raw})
+
+    return (exploded.groupBy("band_id", "band_key")
+            .applyInPandas(_bucket, schema=out_schema)
+            .withColumn("cosine", F.round("cosine", 6))
+            .distinct())
 
 
 def vector_signatures(df: DataFrame, id_col: str = "vec_id",

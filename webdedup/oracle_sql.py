@@ -523,8 +523,8 @@ def _hyperplane_sig_ctes(cfg: DedupConfig = DEFAULT) -> str:
     """CTE chain computing vsig(vec_id, sig): the seeded random-hyperplane
     SimHash of every embedding, bit-identical to ``vector_simhash_udf``.
 
-    The 16x64 plane matrix is generated once (same ``RandomState(seed)`` as
-    the Spark UDF closure) and inlined as full-precision float literals —
+    The bits x dim plane matrix is generated once (same ``RandomState(seed)``
+    as the Spark UDF closure) and inlined as full-precision float literals —
     the same trick ``minhash_sig_long`` uses for the 128 permutations.  Sign
     agreement between numpy's matmul and DuckDB's sequential list_sum is
     robust here: the smallest |dot| in the fixed test embeddings is ~3e-4,
@@ -544,7 +544,9 @@ vemb AS (
 vbits AS (
   SELECT vec_id, bit_id,
          CASE WHEN list_sum(list_transform(range(len(vec)), i -> vec[i+1] * p[i+1])) > 0
-              THEN 1::BIGINT << bit_id ELSE 0 END AS w
+              THEN (CASE WHEN bit_id = 63 THEN (-9223372036854775807 - 1)::BIGINT
+                         ELSE 1::BIGINT << bit_id END)
+              ELSE 0 END AS w
   FROM vemb CROSS JOIN planes
 ),
 vsig AS (SELECT vec_id, sum(w)::BIGINT AS sig FROM vbits GROUP BY 1)"""

@@ -21,6 +21,7 @@ from webdedup.operators import exact, minhash_lsh, simhash_lsh, substring
 from webdedup.operators.components import connected_components
 from webdedup.operators.represent import cluster_sizes, representatives
 from webdedup.plans import checkpoint, metrics
+from webdedup.plans.partitions import ensure_min_partitions
 
 
 @dataclass
@@ -70,13 +71,9 @@ def run(
                                           resume=resume, partitions=par))
         # AQE coalesces small shuffles to few partitions, which would starve
         # downstream UDF stages of parallelism; re-expand cheap small tables.
-        # (At production scale stage tables have >> `par` partitions anyway.)
-        # NOTE: this must probe ACTUAL partitions (.rdd), not file count —
-        # the scan packs small files together (openCostInBytes), so a table
-        # with `par` files can still arrive as ONE scan partition; probing
-        # inputFiles() here silently serialized downstream UDF stages.
-        if df.rdd.getNumPartitions() < par:
-            df = df.repartition(par)
+        # (At production scale stage tables have >> `par` partitions anyway;
+        # see plans.partitions for the probe-vs-hint tradeoff.)
+        df = ensure_min_partitions(df, par)
         n = checkpoint.row_count(work_dir, name)  # footer metadata, no job
         dt = time.time() - t0
         times[name], rows[name] = dt, n
