@@ -146,6 +146,25 @@ def test_minhash_est_prefilter_keeps_recall(docs, corpus_texts):
     assert recall_high >= 0.99, f"est-prefilter recall@J>=0.7 {recall_high:.3f}"
 
 
+def test_minhash_fast_accept_stratification(docs, corpus_texts):
+    """fast_accept must only ADD pairs (est >= cutoff, skipping the exact
+    verify) relative to the exact-verify edge set — never lose one."""
+    kw = dict(cfg=CFG, threshold=CFG.jaccard_threshold, skew_mode="salt",
+              est_prefilter=0.37)
+    base, _ = minhash_lsh.minhash_edges(docs, **kw)
+    fast, _ = minhash_lsh.minhash_edges(docs, fast_accept=0.633, **kw)
+    bs, fs = _pairset(base), _pairset(fast)
+    assert bs <= fs, "stratified verify lost exact-verified pairs"
+    if fs - bs:
+        from pyspark.sql import functions as F
+        sigs = minhash_lsh.minhash_signatures(docs, cfg=CFG)
+        extra = docs.sparkSession.createDataFrame(
+            sorted(fs - bs), "a string, b string")
+        est = minhash_lsh.signature_jaccard(extra, sigs)
+        low = est.filter(F.col("est_jaccard") < 0.633).count()
+        assert low == 0, "fast-accepted pair below the acceptance cutoff"
+
+
 def test_jaccard_max_df_cap_equivalent_here(docs, corpus_texts):
     """df-capped candidate generation + full-set verify: identical results
     on data whose max shingle df is far below the cap (values are exact by

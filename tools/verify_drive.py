@@ -23,13 +23,21 @@ work = tempfile.mkdtemp(prefix="verify_")
 try:
     truth = spark.createDataFrame(
         [(a, b) for a, b, _ in corpus.golden_pairs(42, 50)], "a string, b string")
+    # default (approximate fast-accept) mode: recall gate + report shape
     res = pipeline.run(pages, work, cfg=CFG, resume=False, truth_pairs=truth)
-    got = {r["id"]: r["cluster_id"] for r in res.assignments.collect()}
+    rep = {r["metric"]: r["value"] for r in res.report.collect()}
+    # exact-verify mode: bit-exact partition equality vs brute-force oracle
+    work2 = tempfile.mkdtemp(prefix="verify_exact_")
+    try:
+        res2 = pipeline.run(pages, work2, cfg=CFG, resume=False,
+                            record_metrics=False, minhash_fast_accept=None)
+        got = {r["id"]: r["cluster_id"] for r in res2.assignments.collect()}
+    finally:
+        shutil.rmtree(work2, ignore_errors=True)
     exp = oracle.union_find_clusters(
         sorted(texts), oracle.all_matcher_pairs(texts, CFG))
     gp, ep = partitions(got), partitions(exp)
-    rep = {r["metric"]: r["value"] for r in res.report.collect()}
-    print("partitions equal:", gp == ep)
+    print("partitions equal (exact mode):", gp == ep)
     print("report eval/recall:", rep.get("eval/recall"),
           "eval/precision:", rep.get("eval/precision"))
     print("peak_rss_mb:", rep.get("peak_rss_mb"), "jvm_heap_mb:", rep.get("jvm_heap_mb"))

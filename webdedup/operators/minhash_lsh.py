@@ -94,6 +94,7 @@ def minhash_edges(df: DataFrame | None, id_col: str = "doc_id",
                   sets: DataFrame | None = None,
                   skew_mode: str = "salt",
                   est_prefilter: float | None = None,
+                  fast_accept: float | None = None,
                   ) -> tuple[DataFrame, DataFrame]:
     """(pairs, overflow_quarantine): banded LSH candidates verified by EXACT
     shingle Jaccard >= threshold — the MinHash twin of ``simhash_edges``.
@@ -111,6 +112,20 @@ def minhash_edges(df: DataFrame | None, id_col: str = "doc_id",
     threshold (e.g. 0.35 for threshold 0.5) discards the bulk of the
     false-candidate mass without touching real pairs; the pipeline's golden
     recall gate (>= 0.99) pytest-covers the safety margin.
+
+    ``fast_accept``: optional signature-estimate cutoff ABOVE which a
+    candidate pair is accepted without the exact exploded-shingle verify —
+    the stratified-verify mode for the pipeline's edge sets.  The estimator
+    is unbiased with std sqrt(J(1-J)/perms) (~0.044 at J=0.5 with 128
+    perms), so a cutoff 3σ above the verify threshold accepts only pairs
+    whose true Jaccard is below threshold with probability <~0.1% each;
+    only the uncertainty band [est_prefilter, fast_accept) pays the exact
+    verify, which is where the exploded-join volume goes at scale.
+    Accepted rows carry the (unbiased, ±1/128-quantized) ESTIMATE in the
+    ``jaccard`` column; verified rows carry the exact value.  The decision
+    is deterministic for a given corpus (seeded perms), so results are
+    reproducible run-to-run.  Leave ``None`` (default) for exact-verify
+    semantics — the oracle-checked ``minhash_pairs`` path never sets it.
 
     ``sigs``/``sets``: optional materialized signature / shingle-set tables
     (stage tables in the pipeline) — without them the whole signature UDF
@@ -134,10 +149,21 @@ def minhash_edges(df: DataFrame | None, id_col: str = "doc_id",
         cands = minhash_candidates(bands)
     else:
         raise ValueError(skew_mode)
-    if est_prefilter is not None:
-        cands = (signature_jaccard(cands, sigs)
-                 .filter(F.col("est_jaccard") >= est_prefilter)
-                 .select("a", "b"))
+    if est_prefilter is not None or fast_accept is not None:
+        est = signature_jaccard(cands, sigs)
+        if est_prefilter is not None:
+            est = est.filter(F.col("est_jaccard") >= est_prefilter)
+        if fast_accept is not None:
+            est = est.localCheckpoint(eager=False)  # accepted + uncertain arms
+            accepted = (est.filter(F.col("est_jaccard") >= fast_accept)
+                        .select("a", "b",
+                                F.col("est_jaccard").alias("jaccard")))
+            uncertain = (est.filter(F.col("est_jaccard") < fast_accept)
+                         .select("a", "b"))
+            verified = jaccard_verify(uncertain, df, id_col, text_col, cfg,
+                                      t, sets=sets)
+            return verified.unionByName(accepted), overflow
+        cands = est.select("a", "b")
     pairs = jaccard_verify(cands, df, id_col, text_col, cfg, t, sets=sets)
     return pairs, overflow
 

@@ -233,9 +233,21 @@ def salted_band_candidates(bands: DataFrame, hot_threshold: int,
     """
     spark = bands.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    sizes = bands.groupBy("table_id", "band_key").agg(
-        F.count(F.lit(1)).alias("_bsz"))
-    tagged = bands.join(F.broadcast(sizes.filter(F.col("_bsz") > hot_threshold)),
+    bands = bands.localCheckpoint(eager=False)  # probe + split + join arms
+    hot_sizes = (bands.groupBy("table_id", "band_key")
+                 .agg(F.count(F.lit(1)).alias("_bsz"))
+                 .filter(F.col("_bsz") > hot_threshold)
+                 .localCheckpoint(eager=False))  # probe action + broadcast
+    # Adaptive skip: ONE tiny agg action decides whether any bucket is hot.
+    # When none is (the common case outside boilerplate storms), the
+    # tag/split/salt machinery — 4-5 small sequential shuffles whose fixed
+    # per-stage latency dominated edges_simhash's 1->4-core scaling (1.7x
+    # recorded in r02) — is skipped entirely.  When data IS skewed the probe
+    # cost is noise next to the salted join it enables; at web scale the
+    # probe is one partial-agg job over the band table.
+    if hot_sizes.isEmpty():
+        return band_candidates(bands)
+    tagged = bands.join(F.broadcast(hot_sizes),
                         ["table_id", "band_key"], "left")
     cold = tagged.filter(F.col("_bsz").isNull()).drop("_bsz")
     hot = tagged.filter(F.col("_bsz").isNotNull()).drop("_bsz")
