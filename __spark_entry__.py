@@ -83,8 +83,8 @@ def _matcher_edges(s: SparkSession, d: str) -> DataFrame:
         sim = simhash_lsh.simhash_pairs(docs, cfg=CFG).select(
             F.col("a").alias("u"), F.col("b").alias("v"))
         # df-capped candidate generation (exact-J verify over full sets):
-        # the scale-safe default — identical output on the oracle data,
-        # where max shingle df = 3 << max_bucket_size (see jaccard.py)
+        # the scale-safe default; the DuckDB twins cap identically
+        # (oracle_sql._jacc_ctes), so equality holds by construction
         jac = jaccard.jaccard_all_pairs(
             docs, cfg=CFG, threshold=CFG.jaccard_threshold,
             max_df=CFG.max_bucket_size).select(
@@ -155,8 +155,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), cfg=CFG).select(
             F.col("id").alias("doc_id"),
             F.size("shingles").alias("n_shingles"))
-    # df-capped candidate generation + exact-J verify: scale-safe, values
-    # identical to the uncapped oracle (max shingle df = 3 at sf0.01)
+    # df-capped candidate generation + exact-J verify over full sets; the
+    # DuckDB twin carries the SAME cap (oracle_sql._jacc_ctes), so the
+    # engines agree by construction on any corpus, not by fixture luck
     q["jaccard_pairs"] = lambda s, d: jaccard.jaccard_all_pairs(
         _docs(s, d), cfg=CFG, threshold=CFG.jaccard_threshold,
         max_df=CFG.max_bucket_size).withColumn(
@@ -365,7 +366,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs_combo": oracle_sql_mod.simhash_pairs(CFG.hamming_threshold),
         "shingle_stats": oracle_sql_mod.shingle_stats(CFG.shingle_k),
         "jaccard_pairs": oracle_sql_mod.jaccard_pairs(
-            CFG.shingle_k, CFG.jaccard_threshold),
+            CFG.shingle_k, CFG.jaccard_threshold, CFG.max_bucket_size),
         "minhash_sig": oracle_sql_mod.minhash_sig_long(CFG),
         "minhash_lsh_pairs": oracle_sql_mod.minhash_lsh_pairs(
             CFG, CFG.jaccard_threshold),
@@ -380,7 +381,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_band_stats": oracle_sql_mod.simhash_band_stats(),
         "median_candidate_hamming": oracle_sql_mod.median_candidate_hamming(),
         "matcher_agreement": oracle_sql_mod.matcher_agreement(
-            CFG.shingle_k, CFG.hamming_threshold, CFG.jaccard_threshold),
+            CFG.shingle_k, CFG.hamming_threshold, CFG.jaccard_threshold,
+            CFG.max_bucket_size),
         "lang_stats": oracle_sql_mod.lang_stats(),
         "topk_per_lang": oracle_sql_mod.topk_per_lang(3),
         "media_meta": oracle_sql_mod.media_meta(),

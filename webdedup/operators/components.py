@@ -120,6 +120,23 @@ def _checksum(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["s"])
 
 
+def _est_edge_bytes(e: DataFrame) -> int:
+    """Estimated single-task memory per contracted edge for the local
+    finish: numeric ids hash/store compactly (~16 B of payload, the dict
+    entry is the dominant cost and is counted in the byte budget's safety
+    margin); string ids (urls) pay Python object headers (~49 B + length
+    each) plus a dict entry (~100 B), estimated from a 1024-edge sample."""
+    utype = e.schema["u"].dataType.simpleString()
+    if utype in ("bigint", "int", "smallint", "tinyint"):
+        return 16
+    row = (e.limit(1024)
+           .agg(F.avg(F.length(F.col("u").cast("string"))
+                      + F.length(F.col("v").cast("string"))).alias("b"))
+           .first())
+    avg_len = float(row["b"]) if row and row["b"] is not None else 16.0
+    return int(avg_len) + 200  # object headers + union-find dict entries
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
@@ -141,13 +158,17 @@ def connected_components(
     if local_phase:
         e = _local_contract(e).localCheckpoint(eager=False)
         n_edges = e.count()  # one job: materialize + size the contraction
-        if n_edges <= cfg.cc_local_finish_max_edges:
+        if n_edges <= cfg.cc_local_finish_max_edges and \
+                n_edges * _est_edge_bytes(e) <= cfg.cc_local_finish_max_bytes:
             # contract-then-solve-locally: the whole contracted graph fits
             # one task, so a second union-find pass over ONE partition
             # yields the final component-min stars directly — no iterated
             # global rounds, no per-round job latency.  (The iterative path
             # below remains the route whenever the contraction is still
-            # large — the cutoff is edge count, not input size.)
+            # large — the cutoff is edge count AND estimated bytes: long ids
+            # cost ~16 B/edge, but url-string ids cost hundreds including
+            # Python object + union-find dict overhead, so the byte gate
+            # derates the edge cutoff automatically for wide id types.)
             e = _local_contract(e.coalesce(1)).localCheckpoint(eager=True)
             solved = True
     if not solved:

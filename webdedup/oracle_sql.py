@@ -199,21 +199,50 @@ LEFT JOIN (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1) c
 """
 
 
-def jaccard_pairs(k: int, threshold: float) -> str:
-    return f"""
-WITH {TOKLIST_CTE.strip()},{_shingle_ctes(k)},
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-inter AS (
+def _jacc_ctes(jt: float, max_df: int | None = None) -> str:
+    """CTE chain culminating in ``jacc(a, b, jaccard)`` — requires the
+    ``sh`` CTE (``_shingle_ctes``) in scope.
+
+    With ``max_df`` set, candidate pairs are generated only from shingles
+    whose document frequency is <= max_df, then exact Jaccard is computed
+    over the FULL shingle sets — the by-construction twin of
+    ``jaccard.jaccard_all_pairs(max_df=...)`` (the Spark side's
+    boilerplate-shingle cap).  Without it, the fully-uncapped inverted-index
+    shape.  Keeping the cap IN the oracle means the Spark/oracle equality no
+    longer rests on a data property of the fixtures (max shingle df << cap);
+    the two engines now agree on any corpus."""
+    cap_cte, cand_join = "", ""
+    if max_df is not None:
+        cap_cte = f"""
+jdfc AS (SELECT sh, count(*) AS c FROM sh GROUP BY 1),
+jcand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  JOIN jdfc d ON d.sh = a.sh
+  WHERE d.c <= {max_df}
+),"""
+        cand_join = "JOIN jcand c ON c.a = a.doc_id AND c.b = b.doc_id"
+    return f"""{cap_cte}
+jsizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+jinter AS (
   SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  {cand_join}
   GROUP BY 1, 2
-)
-SELECT i.a, i.b,
-       round(i.i::DOUBLE / (sa.sz + sb.sz - i.i), 6) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.a
-JOIN sizes sb ON sb.doc_id = i.b
-WHERE i.i::DOUBLE / (sa.sz + sb.sz - i.i) >= {threshold}
+),
+jacc AS (
+  SELECT i.a, i.b, round(i.i::DOUBLE / (sa.sz + sb.sz - i.i), 6) AS jaccard
+  FROM jinter i
+  JOIN jsizes sa ON sa.doc_id = i.a
+  JOIN jsizes sb ON sb.doc_id = i.b
+  WHERE i.i::DOUBLE / (sa.sz + sb.sz - i.i) >= {jt}
+)"""
+
+
+def jaccard_pairs(k: int, threshold: float, max_df: int | None = None) -> str:
+    return f"""
+WITH {TOKLIST_CTE.strip()},{_shingle_ctes(k)},{_jacc_ctes(threshold, max_df)}
+SELECT a, b, jaccard FROM jacc
 """
 
 
@@ -350,18 +379,12 @@ GROUP BY 1, 2 HAVING count(*) >= {min_anchors}
 
 def cluster_assignments(cfg: DedupConfig = DEFAULT) -> str:
     """CC over (exact ∪ simhash<=thr ∪ jaccard>=thr) edges via iterative
-    min-label recursive CTE; cluster_id = component-min doc_id."""
+    min-label recursive CTE; cluster_id = component-min doc_id.  The
+    Jaccard arm uses the SAME df-capped candidate generation as the Spark
+    matchers (``_jacc_ctes``), so the twins agree by construction."""
     k, jt, ht = cfg.shingle_k, cfg.jaccard_threshold, cfg.hamming_threshold
     return f"""
-WITH RECURSIVE {TOKS_CTE.strip()},{TOKLIST_CTE.strip()},{_simhash_ctes()},{_shingle_ctes(k)},
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-jacc AS (
-  SELECT a.doc_id AS a, b.doc_id AS b
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-  HAVING count(*)::DOUBLE / ((SELECT sz FROM sizes WHERE doc_id = a.doc_id)
-         + (SELECT sz FROM sizes WHERE doc_id = b.doc_id) - count(*)) >= {jt}
-),
+WITH RECURSIVE {TOKS_CTE.strip()},{TOKLIST_CTE.strip()},{_simhash_ctes()},{_shingle_ctes(k)},{_jacc_ctes(jt, cfg.max_bucket_size)},
 hamm AS (
   SELECT a.doc_id AS a, b.doc_id AS b
   FROM sim a JOIN sim b ON a.doc_id < b.doc_id
@@ -394,15 +417,7 @@ def _matcher_edges_query(cfg: DedupConfig = DEFAULT) -> str:
     side of ``pipeline_eval`` and the edge set under ``cluster_assignments``."""
     k, jt, ht = cfg.shingle_k, cfg.jaccard_threshold, cfg.hamming_threshold
     return f"""SELECT a, b FROM (
-WITH {TOKS_CTE.strip()},{TOKLIST_CTE.strip()},{_simhash_ctes()},{_shingle_ctes(k)},
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-jacc AS (
-  SELECT a.doc_id AS a, b.doc_id AS b
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-  HAVING count(*)::DOUBLE / ((SELECT sz FROM sizes WHERE doc_id = a.doc_id)
-         + (SELECT sz FROM sizes WHERE doc_id = b.doc_id) - count(*)) >= {jt}
-),
+WITH {TOKS_CTE.strip()},{TOKLIST_CTE.strip()},{_simhash_ctes()},{_shingle_ctes(k)},{_jacc_ctes(jt, cfg.max_bucket_size)},
 hamm AS (
   SELECT a.doc_id AS a, b.doc_id AS b
   FROM sim a JOIN sim b ON a.doc_id < b.doc_id
@@ -682,18 +697,11 @@ FROM cand
 """
 
 
-def matcher_agreement(k: int, ham_thr: int, jac_thr: float) -> str:
+def matcher_agreement(k: int, ham_thr: int, jac_thr: float,
+                      max_df: int | None = None) -> str:
     """U2/A5: pairwise agreement between the SimHash and Jaccard matchers."""
     return f"""
-WITH {TOKS_CTE.strip()},{TOKLIST_CTE.strip()},{_simhash_ctes()},{_shingle_ctes(k)},
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-jacc AS (
-  SELECT a.doc_id AS a, b.doc_id AS b
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-  HAVING count(*)::DOUBLE / ((SELECT sz FROM sizes WHERE doc_id = a.doc_id)
-         + (SELECT sz FROM sizes WHERE doc_id = b.doc_id) - count(*)) >= {jac_thr}
-),
+WITH {TOKS_CTE.strip()},{TOKLIST_CTE.strip()},{_simhash_ctes()},{_shingle_ctes(k)},{_jacc_ctes(jac_thr, max_df)},
 hamm AS (
   SELECT a.doc_id AS a, b.doc_id AS b
   FROM sim a JOIN sim b ON a.doc_id < b.doc_id

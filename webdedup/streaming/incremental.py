@@ -59,6 +59,11 @@ def match_new_against_store(new_sigs: DataFrame, store: DataFrame | None,
     new_new = simhash_lsh.band_candidates(nb)
     sigs_all = new_sigs
     if store is not None:
+        # a url re-ingested in a later batch must match with its LATEST
+        # signature only: drop its stale store row before banding/verify
+        # (duplicate ids in sigs_all would fan hamming_verify's joins out
+        # into duplicate pair rows — the effectively-once guarantee)
+        store = store.join(new_sigs.select("id"), "id", "left_anti")
         ob = simhash_lsh.simhash_bands(store, cfg, scheme)
         new_old = (
             nb.select(F.col("id").alias("a"), "table_id", "band_key")
@@ -101,9 +106,21 @@ def incremental_dedup(spark: SparkSession, input_dir: str, work_dir: str,
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         new_sigs = (batch_df.select(F.col("url").alias("id"), "simhash")
+                    .dropDuplicates(["id"])  # a url drop-dir can repeat urls
                     .localCheckpoint(eager=True))  # one UDF pass per batch
-        store = (spark.read.parquet(store_path).select("id", "simhash")
-                 if _store_ready() else None)
+        store = None
+        if _store_ready():
+            from pyspark.sql import Window
+            # exclude the CURRENT batch's partition (a replayed micro-batch
+            # whose store write committed but whose checkpoint commit failed
+            # would otherwise verify against its own half-written output),
+            # and keep one signature per id — the latest batch wins
+            w = Window.partitionBy("id").orderBy(F.desc("_batch_id"))
+            store = (spark.read.parquet(store_path)
+                     .filter(F.col("_batch_id") != batch_id)
+                     .withColumn("_rk", F.row_number().over(w))
+                     .filter(F.col("_rk") == 1)
+                     .select("id", "simhash"))
         pairs = match_new_against_store(new_sigs, store, cfg, scheme)
         (pairs.withColumn("_batch_id", F.lit(batch_id))
          .repartition(1).write.mode("overwrite")
