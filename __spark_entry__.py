@@ -349,6 +349,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # md5-sampled centroids make it deterministic => oracle-checked too
     q["ivf_cosine_pairs"] = lambda s, d: similarity.ivf_cosine_pairs(
         _emb(s, d), threshold=0.3, k_centroids=16, nprobe=2)
+    # third ANN index type (the reference's hnsw slot): two-level IVF —
+    # coarse-to-fine navigation as two broadcast joins, deterministic and
+    # oracle-checked where a stochastic graph index never is
+    q["ivf2_cosine_pairs"] = lambda s, d: similarity.ivf2_cosine_pairs(
+        _emb(s, d), threshold=0.3, k1=8, k2=4, nprobe1=2, nprobe2=2)
+
+    # embedding cluster-quality scoring (clustering_metrics.py:5-40):
+    # silhouette / Davies-Bouldin / Calinski-Harabasz over the labeled
+    # embeddings — sklearn formulas as pure DataFrame aggregations
+    def _cluster_quality(s: SparkSession, d: str) -> DataFrame:
+        from webdedup.operators.cluster_quality import cluster_quality
+        return cluster_quality(_emb(s, d))
+
+    q["cluster_quality"] = _cluster_quality
 
     return q
 
@@ -394,5 +408,8 @@ def oracle_sql() -> dict[str, str]:
             probe_bits=CFG.hyperplane_probe_bits),
         "ivf_cosine_pairs": oracle_sql_mod.ivf_cosine_pairs(
             0.3, k_centroids=16, nprobe=2),
+        "ivf2_cosine_pairs": oracle_sql_mod.ivf2_cosine_pairs(
+            0.3, k1=8, k2=4, nprobe1=2, nprobe2=2),
+        "cluster_quality": oracle_sql_mod.cluster_quality(CFG.embedding_dim),
     }
 

@@ -58,7 +58,7 @@ HEADLINE = [
     "minhash_est_jaccard", "jaccard_pairs", "substring_pairs",
     "cluster_assignments", "representatives", "duplicate_sets",
     "pipeline_eval",
-    "vector_signatures", "lsh_cosine_pairs",
+    "vector_signatures", "lsh_cosine_pairs", "ivf2_cosine_pairs",
 ]
 
 

@@ -87,3 +87,101 @@ def test_golden_fixtures_consistent():
     clusters = corpus.golden_clusters(CFG.seed, 25)
     for a, b, _ in pairs:
         assert clusters[a] == clusters[b]
+
+
+def _rand_labeled_vecs(n=40, dim=8, k=4, seed=7, dup_pairs=0):
+    """(rows, X, labels): gaussian cluster blobs + optional near-dup pairs."""
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(k, dim) * 2.0
+    labels = rng.randint(0, k, size=n)
+    X = centers[labels] + rng.randn(n, dim) * 0.5
+    for p in range(dup_pairs):  # near-identical planted pair (2p, 2p+1)
+        X[2 * p + 1] = X[2 * p] + rng.randn(dim) * 1e-4
+        labels[2 * p + 1] = labels[2 * p]
+    rows = [(int(i), X[i].tolist(), int(labels[i])) for i in range(n)]
+    return rows, X, labels
+
+
+def test_ivf2_pairs_subset_of_exact_with_planted_recall(spark):
+    rows, X, _ = _rand_labeled_vecs(n=60, dim=8, dup_pairs=5)
+    df = spark.createDataFrame([(i, v) for i, v, _ in rows],
+                               ["vec_id", "embedding"])
+    thr = 0.5
+    exact = {(r["a"], r["b"]): r["cosine"]
+             for r in similarity.cosine_pairs(df, threshold=thr).collect()}
+    got = {(r["a"], r["b"]): r["cosine"]
+           for r in similarity.ivf2_cosine_pairs(
+               df, threshold=thr, k1=6, k2=3, nprobe1=2, nprobe2=2).collect()}
+    assert set(got) <= set(exact), "ANN must never invent pairs"
+    for k, v in got.items():
+        assert abs(v - exact[k]) < 1e-9, "verify stage is exact cosine"
+    # planted near-identical vectors rank every centroid identically ->
+    # same (c1, c2) storage key -> candidate recall 1.0 on them
+    for p in range(5):
+        assert (2 * p, 2 * p + 1) in got
+
+
+def test_ivf2_probe_monotone(spark):
+    rows, _, _ = _rand_labeled_vecs(n=50, dim=8, seed=11)
+    df = spark.createDataFrame([(i, v) for i, v, _ in rows],
+                               ["vec_id", "embedding"])
+    narrow = {(r["a"], r["b"]) for r in similarity.ivf2_cosine_pairs(
+        df, threshold=0.3, k1=6, k2=3, nprobe1=1, nprobe2=1).collect()}
+    wide = {(r["a"], r["b"]) for r in similarity.ivf2_cosine_pairs(
+        df, threshold=0.3, k1=6, k2=3, nprobe1=2, nprobe2=2).collect()}
+    assert narrow <= wide, "more probes -> superset of candidates"
+
+
+def _numpy_cluster_quality(X, labels):
+    """Independent closed-form implementation (sklearn formulas)."""
+    n = len(X)
+    uniq = sorted(set(labels))
+    d = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    sil = []
+    for i in range(n):
+        same = [j for j in range(n) if j != i and labels[j] == labels[i]]
+        other = {}
+        for j in range(n):
+            if labels[j] != labels[i]:
+                other.setdefault(labels[j], []).append(d[i, j])
+        if not same or not other:
+            sil.append(0.0)
+            continue
+        a = float(np.mean([d[i, j] for j in same]))
+        b = float(min(np.mean(v) for v in other.values()))
+        sil.append((b - a) / max(a, b))
+    cents = {c: X[labels == c].mean(0) for c in uniq}
+    s = {c: float(np.sqrt(((X[labels == c] - cents[c]) ** 2).sum(1)).mean())
+         for c in uniq}
+    db = float(np.mean([
+        max((s[j] + s[k]) / np.linalg.norm(cents[j] - cents[k])
+            for k in uniq if k != j) for j in uniq]))
+    g = X.mean(0)
+    btw = sum((labels == c).sum() * ((cents[c] - g) ** 2).sum() for c in uniq)
+    within = sum(((X[labels == c] - cents[c]) ** 2).sum() for c in uniq)
+    kk = len(uniq)
+    ch = (btw / (kk - 1)) / (within / (n - kk))
+    return float(np.mean(sil)), db, float(ch)
+
+
+def test_cluster_quality_matches_numpy(spark):
+    from webdedup.operators.cluster_quality import cluster_quality
+
+    rows, X, labels = _rand_labeled_vecs(n=40, dim=6, k=4, seed=3)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = cluster_quality(df).collect()[0]
+    sil, db, ch = _numpy_cluster_quality(X, labels)
+    assert abs(got["silhouette"] - sil) < 2e-6
+    assert abs(got["davies_bouldin"] - db) < 2e-6
+    assert abs(got["calinski_harabasz"] - ch) < max(2e-6, abs(ch) * 1e-6)
+
+
+def test_cluster_quality_singleton_cluster_zero_silhouette(spark):
+    # one point alone in its cluster contributes s=0 (sklearn convention)
+    rows = [(0, [0.0, 0.0], 0), (1, [1.0, 0.0], 0), (2, [5.0, 5.0], 1)]
+    from webdedup.operators.cluster_quality import cluster_quality
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = cluster_quality(df).collect()[0]
+    X = np.array([r[1] for r in rows]); lab = np.array([r[2] for r in rows])
+    sil, _, _ = _numpy_cluster_quality(X, lab)
+    assert abs(got["silhouette"] - sil) < 2e-6

@@ -1,0 +1,107 @@
+"""Embedding cluster-quality metrics: silhouette, Davies-Bouldin,
+Calinski-Harabasz — one row over a labeled embedding table.
+
+Reference analog: ``src/embedding_evaluation/clustering_metrics.py:5-40``
+(sklearn ``silhouette_score`` / ``davies_bouldin_score`` /
+``calinski_harabasz_score`` over an embedding matrix + labels).  Same
+formulas, Euclidean distance, re-expressed as pure DataFrame aggregations
+(zero UDFs):
+
+- silhouette:  s(i) = (b(i) - a(i)) / max(a(i), b(i)) with a(i) the mean
+  distance to the OTHER members of i's cluster (divisor |c|-1) and b(i) the
+  min over other clusters of the mean distance to their members; s(i) = 0
+  for singleton clusters (sklearn convention).  Score = mean over points.
+- Davies-Bouldin:  S_k = mean distance of cluster k's points to its
+  centroid; R_jk = (S_j + S_k) / ||mu_j - mu_k||; DB = mean_j max_{k!=j} R_jk.
+- Calinski-Harabasz:  [sum_k n_k ||mu_k - mu||^2 / (K-1)] /
+  [sum_k sum_{i in k} ||x_i - mu_k||^2 / (n - K)].
+
+Scale notes: silhouette is inherently O(n^2) pairwise (as in sklearn) — at
+web scale one runs it on a stratified sample per cluster; DB and CH are
+single-pass (long-form posexplode -> centroid join), linear in n·dim with
+one shuffle each, and scale as-is.  Floating-point: every reduction is a
+sum/avg of doubles whose accumulated associativity error (~1e-12 relative)
+is far under the 6-decimal rounding both engines apply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cluster_quality(df: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """One-row frame: (silhouette, davies_bouldin, calinski_harabasz)."""
+    v = df.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("lbl"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"))
+    v = v.localCheckpoint(eager=False)  # pairwise + long-form consumers
+
+    # ---- silhouette: pairwise Euclidean over the corpus ----
+    a = v.select(F.col("id").alias("i"), F.col("lbl").alias("li"),
+                 F.col("vec").alias("va"))
+    b = v.select(F.col("id").alias("j"), F.col("lbl").alias("lj"),
+                 F.col("vec").alias("vb"))
+    d2 = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    pairs = (a.crossJoin(b).filter(F.col("i") != F.col("j"))
+             .select("i", "li", "lj", F.sqrt(d2).alias("d")))
+    md = pairs.groupBy("i", "li", "lj").agg(F.avg("d").alias("m"))
+    a_i = md.filter(F.col("li") == F.col("lj")).select(
+        "i", F.col("m").alias("ad"))
+    b_i = (md.filter(F.col("li") != F.col("lj"))
+           .groupBy("i").agg(F.min("m").alias("bd")))
+    s = F.when(F.col("ad").isNull() | F.col("bd").isNull(), F.lit(0.0)) \
+         .otherwise((F.col("bd") - F.col("ad")) / F.greatest("ad", "bd"))
+    sil_row = (v.select(F.col("id").alias("i"))
+               .join(a_i, "i", "left").join(b_i, "i", "left")
+               .agg(F.round(F.avg(s), 6).alias("silhouette")))
+
+    # ---- long-form points / centroids (shared by DB + CH) ----
+    pts = v.select("id", "lbl", F.posexplode("vec").alias("pos", "val"))
+    pts = pts.localCheckpoint(eager=False)
+    cent = (pts.groupBy("lbl", "pos").agg(F.avg("val").alias("c"))
+            .localCheckpoint(eager=False))
+    counts = v.groupBy("lbl").agg(F.count(F.lit(1)).alias("nk"))
+    pc = pts.join(cent, ["lbl", "pos"])
+    # per-point squared distance to own centroid
+    pdist = (pc.groupBy("id", "lbl")
+             .agg(F.sqrt(F.sum((F.col("val") - F.col("c"))
+                               * (F.col("val") - F.col("c")))).alias("dd")))
+    sk = pdist.groupBy("lbl").agg(F.avg("dd").alias("s"))
+
+    # ---- Davies-Bouldin ----
+    ca = cent.select(F.col("lbl").alias("lj"), "pos", F.col("c").alias("cj"))
+    cb = cent.select(F.col("lbl").alias("lk"), "pos", F.col("c").alias("ck"))
+    m = (ca.join(cb, "pos").filter(F.col("lj") != F.col("lk"))
+         .groupBy("lj", "lk")
+         .agg(F.sqrt(F.sum((F.col("cj") - F.col("ck"))
+                           * (F.col("cj") - F.col("ck")))).alias("mm")))
+    r = (m.join(sk.select(F.col("lbl").alias("lj"), F.col("s").alias("sj")), "lj")
+         .join(sk.select(F.col("lbl").alias("lk"), F.col("s").alias("skk")), "lk")
+         .groupBy("lj")
+         .agg(F.max((F.col("sj") + F.col("skk")) / F.col("mm")).alias("rr")))
+    db_row = r.agg(F.round(F.avg("rr"), 6).alias("davies_bouldin"))
+
+    # ---- Calinski-Harabasz ----
+    gm = pts.groupBy("pos").agg(F.avg("val").alias("g"))
+    within_row = pc.agg(F.sum((F.col("val") - F.col("c"))
+                              * (F.col("val") - F.col("c"))).alias("w"))
+    btw_row = (cent.join(gm, "pos")
+               .groupBy("lbl")
+               .agg(F.sum((F.col("c") - F.col("g"))
+                          * (F.col("c") - F.col("g"))).alias("ss"))
+               .join(counts, "lbl")
+               .agg(F.sum(F.col("nk") * F.col("ss")).alias("btw")))
+    dims_row = v.agg(F.count(F.lit(1)).alias("n"),
+                     F.countDistinct("lbl").alias("kk"))
+    ch_row = (btw_row.crossJoin(within_row).crossJoin(dims_row)
+              .select(F.round(
+                  (F.col("btw") / (F.col("kk") - 1))
+                  / (F.col("w") / (F.col("n") - F.col("kk"))), 6)
+                  .alias("calinski_harabasz")))
+
+    return sil_row.crossJoin(db_row).crossJoin(ch_row)

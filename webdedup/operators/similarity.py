@@ -320,6 +320,82 @@ def ivf_assignments(df: DataFrame, id_col: str = "vec_id",
     )
 
 
+def ivf2_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      threshold: float = 0.9,
+                      k1: int = 8, k2: int = 4,
+                      nprobe1: int = 2, nprobe2: int = 2) -> DataFrame:
+    """(a, b, cosine): two-level IVF — the third ANN index type next to
+    hyperplane-LSH and flat IVF (reference ``run_pipeline.py:284``'s
+    ``index_type in {flat, ivf, hnsw}``).
+
+    A faithful HNSW is a sequential greedy graph walk — the wrong shape for
+    a shuffle engine (each hop is a driver round-trip).  What HNSW's upper
+    layers actually buy is COARSE-TO-FINE navigation; this operator keeps
+    that property as a hierarchical quantizer, expressible as two broadcast
+    joins: level-1 = ``k1`` md5-sampled centroids over the corpus, level-2 =
+    ``k2`` md5-sampled sub-centroids WITHIN each level-1 list.  A vector's
+    storage key is its (c1, c2) pair; a query probes ``nprobe1`` level-1
+    lists and ``nprobe2`` sub-lists within each.  Candidates = probe keys ∋
+    storage keys, verified with exact cosine (``lsh_cosine_pairs`` plan
+    shape: narrow keys through the join, vectors joined back once per
+    side).  Fully deterministic (sampling by md5, ranking by rounded
+    distance + id) — hence DuckDB-oracle-checkable, which a stochastic
+    graph index never is.
+
+    At 10^12 docs: k1·k2 scales as ~n^(2/3)/n^(1/3) splits so both centroid
+    tables stay broadcastable; buckets average n/(k1·k2) members; probing
+    costs nprobe1·nprobe2 bucket lookups — the same recall/cost dial HNSW's
+    ef-search turns.
+    """
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # level-1: nprobe1 nearest of k1 coarse centroids per vector
+    a1 = ivf_assignments(df, id_col, vec_col, k1, nprobe1)
+    a1 = a1.localCheckpoint(eager=False)  # sub-centroid pick + both arms
+    store1 = a1.filter(F.col("rank") == 1)
+    # level-2 centroids: the k2 members of each level-1 list with the
+    # smallest md5(id) — deterministic within-list random subset
+    w_pick = Window.partitionBy("cid").orderBy(
+        F.md5(F.col("id").cast("string")), "id")
+    cents2 = (store1.withColumn("_pk", F.row_number().over(w_pick))
+              .filter(F.col("_pk") <= k2)
+              .select("cid", F.col("id").alias("cid2"),
+                      F.col("vec").alias("cvec2")))
+    dist2 = F.aggregate(
+        F.zip_with("vec", "cvec2",
+                   lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    # rank sub-centroids within every (vector, probed level-1 list)
+    w2 = Window.partitionBy("id", "cid").orderBy(F.asc("_d2"), F.asc("cid2"))
+    assign2 = (a1.join(F.broadcast(cents2), "cid")
+               .withColumn("_d2", F.round(dist2, 6))
+               .withColumn("rk2", F.row_number().over(w2))
+               .localCheckpoint(eager=False))
+    probe = (assign2.filter(F.col("rk2") <= nprobe2)
+             .select(F.col("id").alias("a"), "cid", "cid2"))
+    store = (assign2.filter((F.col("rank") == 1) & (F.col("rk2") == 1))
+             .select(F.col("id").alias("b"), "cid", "cid2"))
+    cands = (
+        probe.join(store, ["cid", "cid2"])
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    vecs = with_norm(v, "vec", "nrm")
+    va = vecs.select(F.col("id").alias("a"), F.col("vec").alias("va"),
+                     F.col("nrm").alias("na"))
+    vb = vecs.select(F.col("id").alias("b"), F.col("vec").alias("vb"),
+                     F.col("nrm").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cands.join(va, "a").join(vb, "b")
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
 def ivf_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
                      vec_col: str = "embedding",
                      threshold: float = 0.9,

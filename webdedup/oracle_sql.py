@@ -646,6 +646,68 @@ WHERE round(list_sum(list_transform(range(len(x.vec)), i -> x.vec[i+1] * y.vec[i
 """
 
 
+def ivf2_cosine_pairs(threshold: float, k1: int = 8, k2: int = 4,
+                      nprobe1: int = 2, nprobe2: int = 2) -> str:
+    """Twin of ``similarity.ivf2_cosine_pairs``: two-level IVF (the HNSW
+    -slot index).  Level-1 = md5-sampled coarse centroids; level-2 = the
+    ``k2`` smallest-md5 members of each level-1 storage list; candidates =
+    probe (c1, c2) keys ∋ storage keys; exact cosine verify.  Every pick
+    and rank is (rounded-distance, id)-deterministic in both engines."""
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS vec
+  FROM embeddings
+),
+cents1 AS (
+  SELECT id AS cid, vec AS cvec FROM v
+  ORDER BY md5(id::VARCHAR), id LIMIT {k1}
+),
+a1 AS (
+  SELECT * FROM (
+    SELECT id, vec, cid,
+           row_number() OVER (PARTITION BY id ORDER BY d2 ASC, cid ASC) AS rank
+    FROM (
+      SELECT v.id, v.vec, c.cid,
+             round(list_sum(list_transform(range(len(v.vec)),
+                   i -> (v.vec[i+1] - c.cvec[i+1]) * (v.vec[i+1] - c.cvec[i+1]))), 6) AS d2
+      FROM v CROSS JOIN cents1 c))
+  WHERE rank <= {nprobe1}
+),
+cents2 AS (
+  SELECT cid, id AS cid2, vec AS cvec2 FROM (
+    SELECT cid, id, vec,
+           row_number() OVER (PARTITION BY cid ORDER BY md5(id::VARCHAR), id) AS pk
+    FROM a1 WHERE rank = 1)
+  WHERE pk <= {k2}
+),
+assign2 AS (
+  SELECT id, rank, cid, cid2,
+         row_number() OVER (PARTITION BY id, cid ORDER BY d22 ASC, cid2 ASC) AS rk2
+  FROM (
+    SELECT a.id, a.rank, c.cid, c.cid2,
+           round(list_sum(list_transform(range(len(a.vec)),
+                 i -> (a.vec[i+1] - c.cvec2[i+1]) * (a.vec[i+1] - c.cvec2[i+1]))), 6) AS d22
+    FROM a1 a JOIN cents2 c ON a.cid = c.cid)
+),
+cand AS (
+  SELECT DISTINCT least(p.id, s.id) AS a, greatest(p.id, s.id) AS b
+  FROM (SELECT id, cid, cid2 FROM assign2 WHERE rk2 <= {nprobe2}) p
+  JOIN (SELECT id, cid, cid2 FROM assign2 WHERE rank = 1 AND rk2 = 1) s
+    ON p.cid = s.cid AND p.cid2 = s.cid2
+  WHERE p.id <> s.id
+),
+n AS (
+  SELECT id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm FROM v
+)
+SELECT c.a, c.b,
+       round(list_sum(list_transform(range(len(x.vec)), i -> x.vec[i+1] * y.vec[i+1]))
+             / (x.nrm * y.nrm), 6) AS cosine
+FROM cand c JOIN n x ON x.id = c.a JOIN n y ON y.id = c.b
+WHERE round(list_sum(list_transform(range(len(x.vec)), i -> x.vec[i+1] * y.vec[i+1]))
+            / (x.nrm * y.nrm), 6) >= {threshold}
+"""
+
+
 def _blocks_sql_unsigned() -> str:
     """HUGEINT-based unsigned view of the signed 64-bit simhash, for block
     extraction that matches Spark's shiftrightunsigned semantics."""
@@ -759,6 +821,77 @@ SELECT doc_id,
             THEN regexp_extract(source, 'src(\\d+)', 1)
             ELSE 'unknown' END AS label
 FROM documents
+"""
+
+
+def cluster_quality(dim: int = 64) -> str:
+    """Twin of ``cluster_quality.cluster_quality``: silhouette /
+    Davies-Bouldin / Calinski-Harabasz over (embedding, label) — sklearn
+    formulas (reference ``clustering_metrics.py:5-40``), Euclidean, all
+    closed-form aggregations.  Float associativity (~1e-12 rel) is far
+    below the shared 6-decimal rounding."""
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id, label AS lbl,
+         list_transform(embedding, x -> x::DOUBLE) AS vec
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.id AS i, a.lbl AS li, b.lbl AS lj,
+         sqrt(list_sum(list_transform(range({dim}),
+              k -> (a.vec[k+1] - b.vec[k+1]) * (a.vec[k+1] - b.vec[k+1])))) AS d
+  FROM v a JOIN v b ON a.id <> b.id
+),
+md AS (SELECT i, li, lj, avg(d) AS m FROM pairs GROUP BY 1, 2, 3),
+ai AS (SELECT i, m AS ad FROM md WHERE li = lj),
+bi AS (SELECT i, min(m) AS bd FROM md WHERE li <> lj GROUP BY 1),
+sil AS (
+  SELECT avg(CASE WHEN a.ad IS NULL OR b.bd IS NULL THEN 0.0
+             ELSE (b.bd - a.ad) / greatest(a.ad, b.bd) END) AS s
+  FROM (SELECT id AS i FROM v) ids
+  LEFT JOIN ai a USING (i) LEFT JOIN bi b USING (i)
+),
+pts AS (
+  SELECT id, lbl, k AS pos, vec[k+1] AS val
+  FROM v CROSS JOIN (SELECT unnest(range({dim})) AS k)
+),
+cent AS (SELECT lbl, pos, avg(val) AS c FROM pts GROUP BY 1, 2),
+counts AS (SELECT lbl, count(*) AS nk FROM v GROUP BY 1),
+pdist AS (
+  SELECT p.id, p.lbl, sqrt(sum((p.val - c.c) * (p.val - c.c))) AS dd
+  FROM pts p JOIN cent c ON c.lbl = p.lbl AND c.pos = p.pos
+  GROUP BY 1, 2
+),
+sk AS (SELECT lbl, avg(dd) AS s FROM pdist GROUP BY 1),
+m AS (
+  SELECT a.lbl AS lj, b.lbl AS lk,
+         sqrt(sum((a.c - b.c) * (a.c - b.c))) AS mm
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.lbl <> b.lbl
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT m.lj, max((sa.s + sb.s) / m.mm) AS rr
+  FROM m JOIN sk sa ON sa.lbl = m.lj JOIN sk sb ON sb.lbl = m.lk
+  GROUP BY 1
+),
+dbs AS (SELECT avg(rr) AS db FROM r),
+gm AS (SELECT pos, avg(val) AS g FROM pts GROUP BY 1),
+within AS (
+  SELECT sum((p.val - c.c) * (p.val - c.c)) AS w
+  FROM pts p JOIN cent c ON c.lbl = p.lbl AND c.pos = p.pos
+),
+btw AS (
+  SELECT sum(n.nk * x.ss) AS b FROM (
+    SELECT c.lbl, sum((c.c - g.g) * (c.c - g.g)) AS ss
+    FROM cent c JOIN gm g USING (pos) GROUP BY 1
+  ) x JOIN counts n USING (lbl)
+),
+dims AS (SELECT count(*) AS n, count(DISTINCT lbl) AS kk FROM v)
+SELECT round(sil.s, 6) AS silhouette,
+       round(dbs.db, 6) AS davies_bouldin,
+       round((btw.b / (dims.kk - 1)) / (within.w / (dims.n - dims.kk)), 6)
+         AS calinski_harabasz
+FROM sil, dbs, btw, within, dims
 """
 
 
