@@ -185,3 +185,33 @@ def test_cluster_quality_singleton_cluster_zero_silhouette(spark):
     X = np.array([r[1] for r in rows]); lab = np.array([r[2] for r in rows])
     sil, _, _ = _numpy_cluster_quality(X, lab)
     assert abs(got["silhouette"] - sil) < 2e-6
+
+
+def test_cluster_quality_sampled_silhouette(spark):
+    import hashlib
+
+    from webdedup.operators.cluster_quality import cluster_quality
+
+    rows, X, labels = _rand_labeled_vecs(n=48, dim=6, k=4, seed=9)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+    # m >= every cluster size -> identical to exact (db/ch always exact)
+    exact = cluster_quality(df).collect()[0]
+    full = cluster_quality(df, silhouette_sample_per_cluster=48).collect()[0]
+    assert full == exact
+
+    # m=5: silhouette == numpy silhouette over the deterministic
+    # smallest-md5(id) per-cluster subset; db/ch untouched
+    m = 5
+    got = cluster_quality(df, silhouette_sample_per_cluster=m).collect()[0]
+    by_lbl = {}
+    for i, _, lbl in rows:
+        by_lbl.setdefault(lbl, []).append(i)
+    keep = sorted(
+        i for lbl, ids in by_lbl.items()
+        for i in sorted(ids, key=lambda x: (
+            hashlib.md5(str(x).encode()).hexdigest(), x))[:m])
+    sil, _, _ = _numpy_cluster_quality(X[keep], labels[keep])
+    assert abs(got["silhouette"] - sil) < 2e-6
+    assert got["davies_bouldin"] == exact["davies_bouldin"]
+    assert got["calinski_harabasz"] == exact["calinski_harabasz"]

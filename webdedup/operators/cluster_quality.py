@@ -17,33 +17,54 @@ formulas, Euclidean distance, re-expressed as pure DataFrame aggregations
   [sum_k sum_{i in k} ||x_i - mu_k||^2 / (n - K)].
 
 Scale notes: silhouette is inherently O(n^2) pairwise (as in sklearn) — at
-web scale one runs it on a stratified sample per cluster; DB and CH are
-single-pass (long-form posexplode -> centroid join), linear in n·dim with
-one shuffle each, and scale as-is.  Floating-point: every reduction is a
-sum/avg of doubles whose accumulated associativity error (~1e-12 relative)
-is far under the 6-decimal rounding both engines apply.
+web scale pass ``silhouette_sample_per_cluster`` to bound it: the pairwise
+part then runs on a DETERMINISTIC stratified sample (the ``m`` smallest-
+md5(id) members of each cluster — the distributed analog of sklearn's
+``silhouette_score(sample_size=...)``, which also scores a sample against
+itself), capping the cross join at (K·m)^2 rows while DB and CH stay exact.
+DB and CH are single-pass (long-form posexplode -> centroid join), linear
+in n·dim with one shuffle each, and scale as-is.  Floating-point: every
+reduction is a sum/avg of doubles whose accumulated associativity error
+(~1e-12 relative) is far under the 6-decimal rounding both engines apply.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def cluster_quality(df: DataFrame, id_col: str = "vec_id",
                     vec_col: str = "embedding",
-                    label_col: str = "label") -> DataFrame:
-    """One-row frame: (silhouette, davies_bouldin, calinski_harabasz)."""
+                    label_col: str = "label",
+                    silhouette_sample_per_cluster: int | None = None
+                    ) -> DataFrame:
+    """One-row frame: (silhouette, davies_bouldin, calinski_harabasz).
+
+    ``silhouette_sample_per_cluster=m`` bounds the O(n^2) silhouette stage
+    to a per-cluster sample of ``m`` points (see module doc); ``None`` =
+    exact over all points.  With ``m`` >= every cluster size the result is
+    identical to exact.
+    """
     v = df.select(
         F.col(id_col).alias("id"), F.col(label_col).alias("lbl"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"))
     v = v.localCheckpoint(eager=False)  # pairwise + long-form consumers
 
-    # ---- silhouette: pairwise Euclidean over the corpus ----
-    a = v.select(F.col("id").alias("i"), F.col("lbl").alias("li"),
-                 F.col("vec").alias("va"))
-    b = v.select(F.col("id").alias("j"), F.col("lbl").alias("lj"),
-                 F.col("vec").alias("vb"))
+    if silhouette_sample_per_cluster is None:
+        sil_src = v
+    else:
+        w_samp = Window.partitionBy("lbl").orderBy(
+            F.md5(F.col("id").cast("string")), "id")
+        sil_src = (v.withColumn("_sk", F.row_number().over(w_samp))
+                   .filter(F.col("_sk") <= silhouette_sample_per_cluster)
+                   .drop("_sk"))
+
+    # ---- silhouette: pairwise Euclidean over the (sampled) corpus ----
+    a = sil_src.select(F.col("id").alias("i"), F.col("lbl").alias("li"),
+                       F.col("vec").alias("va"))
+    b = sil_src.select(F.col("id").alias("j"), F.col("lbl").alias("lj"),
+                       F.col("vec").alias("vb"))
     d2 = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0), lambda acc, x: acc + x)
@@ -56,7 +77,7 @@ def cluster_quality(df: DataFrame, id_col: str = "vec_id",
            .groupBy("i").agg(F.min("m").alias("bd")))
     s = F.when(F.col("ad").isNull() | F.col("bd").isNull(), F.lit(0.0)) \
          .otherwise((F.col("bd") - F.col("ad")) / F.greatest("ad", "bd"))
-    sil_row = (v.select(F.col("id").alias("i"))
+    sil_row = (sil_src.select(F.col("id").alias("i"))
                .join(a_i, "i", "left").join(b_i, "i", "left")
                .agg(F.round(F.avg(s), 6).alias("silhouette")))
 

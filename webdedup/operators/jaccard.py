@@ -184,10 +184,21 @@ def jaccard_verify(cands: DataFrame, df: DataFrame, id_col: str = "doc_id",
             .select("a", "b", "jaccard")
         )
 
-    sizes = sets.select("id", F.size("shingles").alias("sz"))
     cand_ids = (cands.select(F.col("a").alias("id"))
                 .unionByName(cands.select(F.col("b").alias("id"))).distinct())
-    idx = (sets.join(cand_ids, "id", "left_semi")
+    # ONE scan of the (wide) shingle table, restricted to ids that appear
+    # in a candidate pair, checkpointed so sizes + index both read the
+    # small restricted frame instead of re-scanning the full corpus table.
+    # In fast-accept mode the uncertainty band is a tiny fraction of the
+    # corpus, so this is the difference between scanning ~1% and scanning
+    # 100% of the shingle column twice.
+    from webdedup.plans.partitions import ensure_min_partitions
+    small = (sets.join(cand_ids, "id", "left_semi")
+             .select("id", "shingles").localCheckpoint(eager=False))
+    sizes = small.select("id", F.size("shingles").alias("sz"))
+    # explode fan-out guard: AQE may have coalesced the semi-joined frame
+    # to 1-2 partitions (see plans.partitions)
+    idx = (ensure_min_partitions(small)
            .select("id", F.explode("shingles").alias("sh")))
     a_sh = cands.join(idx.withColumnRenamed("id", "a"), "a")  # (a, b, sh)
     inter = (
