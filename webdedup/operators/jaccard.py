@@ -153,7 +153,8 @@ def jaccard_verify(cands: DataFrame, df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", cfg: DedupConfig = DEFAULT,
                    threshold: float | None = None,
                    sets: DataFrame | None = None,
-                   exploded: bool = True) -> DataFrame:
+                   exploded: bool = True,
+                   restrict_sets: bool = False) -> DataFrame:
     """Verify candidate (a, b) pairs with exact shingle-set Jaccard.
 
     The join back to the corpus is the reference's candidate-verification
@@ -166,7 +167,18 @@ def jaccard_verify(cands: DataFrame, df: DataFrame, id_col: str = "doc_id",
     to both pair sides.  The array form broadcasts/shuffles ~KB-wide rows
     and at bench scale showed a 10x slowdown from broadcast deserialization
     GC; the exploded form moves only (id, sh) longs — the only shape that
-    survives 100 TB."""
+    survives 100 TB.
+
+    ``restrict_sets=True`` semi-joins ``sets`` to the candidate ids ONCE
+    into a checkpointed small frame and derives both the exploded index and
+    the per-id sizes from it.  Turn it on when the candidates cover a
+    small fraction of the corpus — the fast-accept uncertainty band (~5%
+    of candidates at 250k docs: verify 34.5s -> 13.1s, one restricted scan
+    instead of two corpus-wide ones).  Leave it off (default) when
+    candidate ids span most of the corpus (e.g. exact-verify of ALL banded
+    candidates), where the checkpoint barrier + extra semi-join only add
+    fixed latency.  Results are identical either way (the sizes frame is
+    consumed through inner joins on candidate ids)."""
     t = cfg.jaccard_threshold if threshold is None else threshold
     if sets is None:
         sets = shingle_sets(df, id_col, text_col, cfg).localCheckpoint(
@@ -186,20 +198,23 @@ def jaccard_verify(cands: DataFrame, df: DataFrame, id_col: str = "doc_id",
 
     cand_ids = (cands.select(F.col("a").alias("id"))
                 .unionByName(cands.select(F.col("b").alias("id"))).distinct())
-    # ONE scan of the (wide) shingle table, restricted to ids that appear
-    # in a candidate pair, checkpointed so sizes + index both read the
-    # small restricted frame instead of re-scanning the full corpus table.
-    # In fast-accept mode the uncertainty band is a tiny fraction of the
-    # corpus, so this is the difference between scanning ~1% and scanning
-    # 100% of the shingle column twice.
-    from webdedup.plans.partitions import ensure_min_partitions
-    small = (sets.join(cand_ids, "id", "left_semi")
-             .select("id", "shingles").localCheckpoint(eager=False))
-    sizes = small.select("id", F.size("shingles").alias("sz"))
-    # explode fan-out guard: AQE may have coalesced the semi-joined frame
-    # to 1-2 partitions (see plans.partitions)
-    idx = (ensure_min_partitions(small)
-           .select("id", F.explode("shingles").alias("sh")))
+    if restrict_sets:
+        # ONE scan of the (wide) shingle table, restricted to ids that
+        # appear in a candidate pair, checkpointed so sizes + index both
+        # read the small restricted frame instead of re-scanning the full
+        # corpus table (see docstring).
+        from webdedup.plans.partitions import ensure_min_partitions
+        small = (sets.join(cand_ids, "id", "left_semi")
+                 .select("id", "shingles").localCheckpoint(eager=False))
+        sizes = small.select("id", F.size("shingles").alias("sz"))
+        # explode fan-out guard: AQE may have coalesced the semi-joined
+        # frame to 1-2 partitions (see plans.partitions)
+        idx = (ensure_min_partitions(small)
+               .select("id", F.explode("shingles").alias("sh")))
+    else:
+        sizes = sets.select("id", F.size("shingles").alias("sz"))
+        idx = (sets.join(cand_ids, "id", "left_semi")
+               .select("id", F.explode("shingles").alias("sh")))
     a_sh = cands.join(idx.withColumnRenamed("id", "a"), "a")  # (a, b, sh)
     inter = (
         a_sh.join(idx.select(F.col("id").alias("b"), "sh"), ["b", "sh"])

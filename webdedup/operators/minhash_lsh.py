@@ -160,8 +160,10 @@ def minhash_edges(df: DataFrame | None, id_col: str = "doc_id",
                                 F.col("est_jaccard").alias("jaccard")))
             uncertain = (est.filter(F.col("est_jaccard") < fast_accept)
                          .select("a", "b"))
+            # the uncertainty band covers a small fraction of the corpus:
+            # restrict the shingle scan to its ids (jaccard_verify doc)
             verified = jaccard_verify(uncertain, df, id_col, text_col, cfg,
-                                      t, sets=sets)
+                                      t, sets=sets, restrict_sets=True)
             return verified.unionByName(accepted), overflow
         cands = est.select("a", "b")
     pairs = jaccard_verify(cands, df, id_col, text_col, cfg, t, sets=sets)
