@@ -41,7 +41,14 @@ def _simhash_of_text(text: str, cache: dict | None = None) -> int:
     batch — word vocabularies repeat heavily within a batch, and a
     batch-scoped dict cannot poison reused workers the way a global
     lru_cache does (see hashing.py note)."""
-    counts = Counter(tokenize_py(text))
+    return _simhash_of_tokens(tokenize_py(text), cache)
+
+
+def _simhash_of_tokens(toks: list[str], cache: dict | None = None) -> int:
+    """SimHash from an already-tokenized document — the fused signature
+    pass tokenizes once and feeds every signature kind (tokens contain no
+    whitespace, so this is bit-identical to re-joining and re-splitting)."""
+    counts = Counter(toks)
     if not counts:
         return 0
     if cache is None:
@@ -190,14 +197,16 @@ def all_signatures(df, cfg: DedupConfig = DEFAULT,
             for rid, text in zip(batch[id_col], batch[text_col]):
                 toks = tokenize_py(text or "")  # Java-\s-equivalent split
                 # --- simhash (token-level, batch-scoped hash cache) ---
-                sh = _simhash_of_text(" ".join(toks), tok_cache) if toks else 0
-                # --- shingles + minhash from ONE digest per 5-gram ---
+                sh = _simhash_of_tokens(toks, tok_cache) if toks else 0
+                # --- shingles + minhash from ONE digest per 5-gram:
+                # h32 = first 8 hex chars = (60-bit value) >> 28, so one
+                # int-parse serves both hash widths ---
                 sh60: dict[int, None] = {}
                 h32s: dict[int, None] = {}
                 for g in shingles_py(toks, k):
-                    d = md5(g.encode()).hexdigest()
-                    sh60[int(d[:15], 16)] = None
-                    h32s[int(d[:8], 16)] = None
+                    v = int(md5(g.encode()).hexdigest()[:15], 16)
+                    sh60[v] = None
+                    h32s[v >> 28] = None
                 if h32s:
                     hs = np.fromiter(h32s, dtype=np.uint64, count=len(h32s))
                     vals = (a[:, None] * hs[None, :] + b[:, None]) % p
