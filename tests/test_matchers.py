@@ -197,3 +197,23 @@ def test_ivf_cosine_recall(spark):
     full = _pairset(similarity.ivf_cosine_pairs(
         emb, threshold=0.3, k_centroids=8, nprobe=8))
     assert full == exact_pairs
+
+
+def test_jaccard_verify_restrict_sets_equivalence(spark):
+    """restrict_sets=True/False must be result-identical (the flag is a
+    physical-plan choice: restricted single-scan vs corpus-wide sizes)."""
+    from webdedup.sources import corpus
+
+    docs = spark.createDataFrame(corpus.corpus_rows(CFG.seed + 7, 40),
+                                 schema=corpus.PAGE_KIND_SCHEMA)
+    docs = docs.select(F.xxhash64("url").alias("doc_id"), "text")
+    sets = jaccard.shingle_sets(docs, "doc_id", "text", CFG).localCheckpoint()
+    bands = minhash_lsh.minhash_bands(
+        minhash_lsh.minhash_signatures(docs, cfg=CFG).localCheckpoint(), CFG)
+    cands = minhash_lsh.minhash_candidates(bands)
+    base = {(r["a"], r["b"], r["jaccard"]) for r in jaccard.jaccard_verify(
+        cands, None, cfg=CFG, threshold=0.2, sets=sets).collect()}
+    restricted = {(r["a"], r["b"], r["jaccard"]) for r in jaccard.jaccard_verify(
+        cands, None, cfg=CFG, threshold=0.2, sets=sets,
+        restrict_sets=True).collect()}
+    assert base == restricted and base, "plan choice must not change results"
