@@ -109,3 +109,46 @@ def test_incremental_matcher_covers_all_pairs(spark, stream_dirs):
     q2.awaitTermination(180)
     assert spark.read.parquet(
         stream_dirs["out"] + "/" + incremental.PAIRS_TABLE).count() == n_before
+
+
+def test_windowed_dup_stats_batch_parity(spark, stream_dirs):
+    """Streaming windowed dup-rate (chained window aggs, append mode) must
+    equal the same computation run as a batch query, for every window the
+    watermark closed."""
+    import datetime as dt
+
+    from webdedup.streaming import windows as win
+
+    rows = corpus.corpus_rows(42, 20)
+    df = spark.createDataFrame(rows, schema=corpus.PAGE_KIND_SCHEMA) \
+        .select("url", "warc_ts", "html", "text", "lang")
+    # sentinel far in the future: advances the final watermark past every
+    # real window so availableNow emits them all (its own window stays open)
+    sentinel_ts = max(r["warc_ts"] for r in rows) + dt.timedelta(hours=6)
+    sent = spark.createDataFrame(
+        [{**rows[0], "url": "sentinel://flush", "warc_ts": sentinel_ts}],
+        schema=corpus.PAGE_KIND_SCHEMA).select(
+        "url", "warc_ts", "html", "text", "lang")
+    df.unionByName(sent).coalesce(2).write.mode("overwrite") \
+        .parquet(stream_dirs["in"])
+
+    stream = ingest.enrich_stream(
+        ingest.read_page_stream(spark, stream_dirs["in"],
+                                max_files_per_trigger=1))
+    q = win.write_window_stats_stream(
+        win.window_dup_stats(stream, window="5 minutes",
+                             watermark="2 minutes"),
+        stream_dirs["out"], stream_dirs["ckpt"], once=True)
+    q.awaitTermination(180)
+
+    got = {tuple(r) for r in spark.read.parquet(stream_dirs["out"]).collect()}
+
+    batch = ingest.enrich_stream(
+        spark.read.parquet(stream_dirs["in"]))
+    expected = {tuple(r) for r in win.window_dup_stats(
+        batch, window="5 minutes", watermark="2 minutes")
+        .filter(F.col("window_end") <= sentinel_ts).collect()}
+    assert got == expected and len(got) >= 3
+    for r in spark.read.parquet(stream_dirs["out"]).collect():
+        assert r["n_pages"] >= r["n_distinct"]
+        assert r["n_exact_dups"] == r["n_pages"] - r["n_distinct"]
