@@ -194,8 +194,15 @@ def main() -> None:
     # a recorded run at 0.64-of-host slipped past the old threshold while
     # quiet-host runs of the same binary measure 0.85-0.94; at 250k docs
     # the raw 1->4 efficiency is 0.94, so a mid-0.6s reading at 45k is
-    # contention, not the engine.)
-    if t_hi > 0 and (t_lo / t_hi) < 0.75 * calib.get("procs_4_speedup", 4.0):
+    # contention, not the engine.)  The window is SYMMETRIC: a speedup
+    # meaningfully above host capacity means the 1-CORE run was the
+    # contended one (measured: lo 176.7s vs quiet 112-128s inflated
+    # speedup to 1.06x-of-host) — re-measuring and keeping per-level
+    # minima corrects optimistic readings the same way it corrects
+    # pessimistic ones.
+    host4_now = calib.get("procs_4_speedup", 4.0)
+    ratio = (t_lo / t_hi) / host4_now if t_hi > 0 else 1.0
+    if t_hi > 0 and (ratio < 0.75 or ratio > 1.05):
         t_lo2, _ = run_pipeline_at(LO_CORES)
         t_hi2, _ = run_pipeline_at(HI_CORES)
         attempts["lo"].append(round(t_lo2, 1))
