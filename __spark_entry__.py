@@ -364,6 +364,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cluster_quality"] = _cluster_quality
 
+    # the scale path for the O(n^2) silhouette: deterministic per-cluster
+    # stratified sample (smallest-md5 ids, sklearn sample_size analog);
+    # DB/CH stay exact over all points
+    def _cluster_quality_sampled(s: SparkSession, d: str) -> DataFrame:
+        from webdedup.operators.cluster_quality import cluster_quality
+        return cluster_quality(_emb(s, d), silhouette_sample_per_cluster=25)
+
+    q["cluster_quality_sampled"] = _cluster_quality_sampled
+
     return q
 
 
@@ -411,5 +420,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf2_cosine_pairs": oracle_sql_mod.ivf2_cosine_pairs(
             0.3, k1=8, k2=4, nprobe1=2, nprobe2=2),
         "cluster_quality": oracle_sql_mod.cluster_quality(CFG.embedding_dim),
+        "cluster_quality_sampled": oracle_sql_mod.cluster_quality(
+            CFG.embedding_dim, sample_per_cluster=25),
     }
 

@@ -824,23 +824,38 @@ FROM documents
 """
 
 
-def cluster_quality(dim: int = 64) -> str:
+def cluster_quality(dim: int = 64,
+                    sample_per_cluster: int | None = None) -> str:
     """Twin of ``cluster_quality.cluster_quality``: silhouette /
     Davies-Bouldin / Calinski-Harabasz over (embedding, label) — sklearn
     formulas (reference ``clustering_metrics.py:5-40``), Euclidean, all
     closed-form aggregations.  Float associativity (~1e-12 rel) is far
-    below the shared 6-decimal rounding."""
+    below the shared 6-decimal rounding.
+
+    ``sample_per_cluster`` mirrors the Spark side's
+    ``silhouette_sample_per_cluster``: the O(n^2) silhouette runs on the
+    ``m`` smallest-md5(id) members of each cluster (DB/CH stay exact over
+    all points)."""
+    if sample_per_cluster is None:
+        sv = "SELECT * FROM v"
+    else:
+        sv = f"""SELECT id, lbl, vec FROM (
+    SELECT id, lbl, vec,
+           row_number() OVER (PARTITION BY lbl
+                              ORDER BY md5(id::VARCHAR), id) AS sk
+    FROM v) WHERE sk <= {sample_per_cluster}"""
     return f"""
 WITH v AS (
   SELECT vec_id AS id, label AS lbl,
          list_transform(embedding, x -> x::DOUBLE) AS vec
   FROM embeddings
 ),
+sv AS ({sv}),
 pairs AS (
   SELECT a.id AS i, a.lbl AS li, b.lbl AS lj,
          sqrt(list_sum(list_transform(range({dim}),
               k -> (a.vec[k+1] - b.vec[k+1]) * (a.vec[k+1] - b.vec[k+1])))) AS d
-  FROM v a JOIN v b ON a.id <> b.id
+  FROM sv a JOIN sv b ON a.id <> b.id
 ),
 md AS (SELECT i, li, lj, avg(d) AS m FROM pairs GROUP BY 1, 2, 3),
 ai AS (SELECT i, m AS ad FROM md WHERE li = lj),
@@ -848,7 +863,7 @@ bi AS (SELECT i, min(m) AS bd FROM md WHERE li <> lj GROUP BY 1),
 sil AS (
   SELECT avg(CASE WHEN a.ad IS NULL OR b.bd IS NULL THEN 0.0
              ELSE (b.bd - a.ad) / greatest(a.ad, b.bd) END) AS s
-  FROM (SELECT id AS i FROM v) ids
+  FROM (SELECT id AS i FROM sv) ids
   LEFT JOIN ai a USING (i) LEFT JOIN bi b USING (i)
 ),
 pts AS (
