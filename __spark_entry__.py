@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- text analysis ---
     q["token_stats"] = lambda s, d: textstats.token_stats(_docs(s, d))
+    # BPE-ish regex-piece accounting + fertility (tokenizer cost budget)
+    q["subtoken_stats"] = lambda s, d: textstats.subtoken_stats(_docs(s, d))
     q["quality_scores"] = lambda s, d: textstats.quality_scores(_docs(s, d))
     q["lang_id"] = lambda s, d: textstats.lang_id(_docs(s, d))
     q["doc_fingerprint"] = lambda s, d: textstats.doc_fingerprint(_docs(s, d))
@@ -381,6 +383,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_groups": oracle_sql_mod.exact_dup_groups(),
         "content_hashes": oracle_sql_mod.content_hashes(),
         "token_stats": oracle_sql_mod.token_stats(),
+        "subtoken_stats": oracle_sql_mod.subtoken_stats(),
         "quality_scores": oracle_sql_mod.quality_scores(),
         "lang_id": oracle_sql_mod.lang_id(),
         "doc_fingerprint": oracle_sql_mod.doc_fingerprint(),

@@ -53,7 +53,8 @@ CORPUS_DIR = os.environ.get(
     f"/root/repo/.cache/bench_corpus_{BENCH_GROUPS}.parquet")
 
 HEADLINE = [
-    "token_stats", "quality_scores", "lang_id", "doc_fingerprint",
+    "token_stats", "subtoken_stats", "quality_scores", "lang_id",
+    "doc_fingerprint",
     "simhash64", "simhash_pairs_combo", "minhash_lsh_pairs",
     "minhash_est_jaccard", "jaccard_pairs", "substring_pairs",
     "cluster_assignments", "representatives", "duplicate_sets",

@@ -121,3 +121,37 @@ def doc_fingerprint(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("doc_id"),
         h60_col(normalized).alias("fingerprint"),
     )
+
+
+# BPE-ish piece pattern: letter runs | single digits | any other non-space
+# char.  Explicit whitespace class on purpose: Java's \s includes \x0B where
+# RE2's (DuckDB's) does not, and the twin must match byte-for-byte.
+SUBTOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r\f]"
+
+
+def subtoken_stats(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(doc_id, n_pieces, n_unique_pieces, avg_piece_len, fertility) —
+    BPE-ish regex-piece accounting: letter runs, single digits, and isolated
+    symbol characters, the shape of a byte-pair pre-tokenizer's coarse
+    splits.  ``fertility`` = pieces per whitespace token, the standard
+    tokenizer-cost metric a training-data pipeline budgets by.  Pure
+    Catalyst (``regexp_extract_all`` is JVM-side); exact DuckDB twin."""
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(SUBTOKEN_PATTERN), 0)
+    toks = tokens_col(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(pieces).alias("n_pieces"),
+        F.size(F.array_distinct(pieces)).alias("n_unique_pieces"),
+        F.round(
+            F.when(
+                F.size(pieces) > 0,
+                F.aggregate(pieces, F.lit(0).cast("long"),
+                            lambda acc, t: acc + F.length(t)).cast("double")
+                / F.size(pieces),
+            ).otherwise(F.lit(0.0)), 6).alias("avg_piece_len"),
+        F.round(
+            F.when(F.size(toks) > 0,
+                   F.size(pieces).cast("double") / F.size(toks))
+            .otherwise(F.lit(0.0)), 6).alias("fertility"),
+    )

@@ -113,6 +113,30 @@ FROM toklist
 """
 
 
+def subtoken_stats() -> str:
+    """Twin of ``textstats.subtoken_stats``: BPE-ish regex pieces.  The
+    piece pattern uses explicit whitespace chars (Java \\s vs RE2 \\s
+    disagree on \\x0b) so both engines split identically."""
+    pat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r\\f]"
+    return f"""
+WITH {TOKLIST_CTE.strip()},
+p AS (
+  SELECT doc_id, regexp_extract_all(text, '{pat}') AS pieces
+  FROM documents
+)
+SELECT p.doc_id,
+       len(pieces)::INT AS n_pieces,
+       len(list_distinct(pieces))::INT AS n_unique_pieces,
+       round(CASE WHEN len(pieces) > 0
+                  THEN list_sum(list_transform(pieces, t -> length(t)))::DOUBLE / len(pieces)
+                  ELSE 0.0 END, 6) AS avg_piece_len,
+       round(CASE WHEN len(toks) > 0
+                  THEN len(pieces)::DOUBLE / len(toks)
+                  ELSE 0.0 END, 6) AS fertility
+FROM p JOIN toklist USING (doc_id)
+"""
+
+
 def quality_scores() -> str:
     stop = ", ".join(f"'{s}'" for s in STOPWORDS)
     return f"""
