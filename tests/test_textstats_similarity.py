@@ -215,3 +215,22 @@ def test_cluster_quality_sampled_silhouette(spark):
     assert abs(got["silhouette"] - sil) < 2e-6
     assert got["davies_bouldin"] == exact["davies_bouldin"]
     assert got["calinski_harabasz"] == exact["calinski_harabasz"]
+
+
+def test_subtoken_stats_edges(spark):
+    rows = [
+        (1, "hello world42, it's 9am!"),
+        (2, ""),
+        (3, "   "),
+        (4, "!!!"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in textstats.subtoken_stats(df).collect()}
+    # "hello world42, it's 9am!" ->
+    # hello|world|4|2|,|it|'|s|9|am|! = 11 pieces over 4 ws-tokens
+    assert got[1]["n_pieces"] == 11
+    assert abs(got[1]["fertility"] - 11 / 4) < 1e-9
+    assert got[2]["n_pieces"] == 0 and got[2]["fertility"] == 0.0
+    assert got[3]["n_pieces"] == 0 and got[3]["fertility"] == 0.0
+    assert got[4]["n_pieces"] == 3 and got[4]["n_unique_pieces"] == 1
+    assert got[4]["avg_piece_len"] == 1.0
