@@ -153,8 +153,15 @@ def test_minhash_fast_accept_stratification(docs, corpus_texts):
               est_prefilter=0.37)
     base, _ = minhash_lsh.minhash_edges(docs, **kw)
     fast, _ = minhash_lsh.minhash_edges(docs, fast_accept=0.633, **kw)
+    # exact mode has no flag column; fast-accept mode marks every row so
+    # consumers can tell estimate-valued scores from exact ones (ADVICE r3)
+    assert "estimated" not in base.columns
+    assert "estimated" in fast.columns
     bs, fs = _pairset(base), _pairset(fast)
     assert bs <= fs, "stratified verify lost exact-verified pairs"
+    flagged = {(r["a"], r["b"]) for r in
+               fast.filter("estimated").select("a", "b").collect()}
+    assert flagged >= (fs - bs), "un-flagged estimate row escaped"
     if fs - bs:
         from pyspark.sql import functions as F
         sigs = minhash_lsh.minhash_signatures(docs, cfg=CFG)

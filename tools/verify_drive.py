@@ -23,21 +23,31 @@ work = tempfile.mkdtemp(prefix="verify_")
 try:
     truth = spark.createDataFrame(
         [(a, b) for a, b, _ in corpus.golden_pairs(42, 50)], "a string, b string")
-    # default (approximate fast-accept) mode: recall gate + report shape
+    # default mode IS exact-verify now (fast-accept is opt-in): one run
+    # gives both the recall gate / report shape AND bit-exact partition
+    # equality vs the brute-force oracle
     res = pipeline.run(pages, work, cfg=CFG, resume=False, truth_pairs=truth)
     rep = {r["metric"]: r["value"] for r in res.report.collect()}
-    # exact-verify mode: bit-exact partition equality vs brute-force oracle
-    work2 = tempfile.mkdtemp(prefix="verify_exact_")
+    got = {r["id"]: r["cluster_id"] for r in res.assignments.collect()}
+    # opt-in stratified fast-accept mode: recall-only gate (may ADD 3σ-tail
+    # near-threshold pairs, never lose one)
+    work2 = tempfile.mkdtemp(prefix="verify_fast_")
     try:
         res2 = pipeline.run(pages, work2, cfg=CFG, resume=False,
-                            record_metrics=False, minhash_fast_accept=None)
-        got = {r["id"]: r["cluster_id"] for r in res2.assignments.collect()}
+                            record_metrics=False, minhash_fast_accept="auto")
+        got_fast = {r["id"]: r["cluster_id"] for r in res2.assignments.collect()}
     finally:
         shutil.rmtree(work2, ignore_errors=True)
     exp = oracle.union_find_clusters(
         sorted(texts), oracle.all_matcher_pairs(texts, CFG))
     gp, ep = partitions(got), partitions(exp)
-    print("partitions equal (exact mode):", gp == ep)
+    print("partitions equal (exact default):", gp == ep)
+    # fast-accept can only coarsen the partition (extra 3σ-tail edges merge
+    # clusters; an exact-mode cluster can never be split apart)
+    coarser = all(
+        len({got_fast[m] for m in s}) == 1 for s in gp)
+    print("fast-accept partition coarsens exact:", coarser)
+    assert coarser, "fast-accept mode split an exact-mode cluster"
     print("report eval/recall:", rep.get("eval/recall"),
           "eval/precision:", rep.get("eval/precision"))
     print("peak_rss_mb:", rep.get("peak_rss_mb"), "jvm_heap_mb:", rep.get("jvm_heap_mb"))

@@ -121,11 +121,14 @@ def minhash_edges(df: DataFrame | None, id_col: str = "doc_id",
     whose true Jaccard is below threshold with probability <~0.1% each;
     only the uncertainty band [est_prefilter, fast_accept) pays the exact
     verify, which is where the exploded-join volume goes at scale.
-    Accepted rows carry the (unbiased, ±1/128-quantized) ESTIMATE in the
-    ``jaccard`` column; verified rows carry the exact value.  The decision
-    is deterministic for a given corpus (seeded perms), so results are
-    reproducible run-to-run.  Leave ``None`` (default) for exact-verify
-    semantics — the oracle-checked ``minhash_pairs`` path never sets it.
+    When set, the output gains an ``estimated`` boolean column: accepted
+    rows carry the (unbiased, ±1/128-quantized) ESTIMATE in the ``jaccard``
+    column and ``estimated=true``; verified rows carry the exact value and
+    ``estimated=false`` — downstream consumers can always tell the two
+    apart.  The decision is deterministic for a given corpus (seeded
+    perms), so results are reproducible run-to-run.  Leave ``None``
+    (default) for exact-verify semantics (no ``estimated`` column) — the
+    oracle-checked ``minhash_pairs`` path never sets it.
 
     ``sigs``/``sets``: optional materialized signature / shingle-set tables
     (stage tables in the pipeline) — without them the whole signature UDF
@@ -157,13 +160,15 @@ def minhash_edges(df: DataFrame | None, id_col: str = "doc_id",
             est = est.localCheckpoint(eager=False)  # accepted + uncertain arms
             accepted = (est.filter(F.col("est_jaccard") >= fast_accept)
                         .select("a", "b",
-                                F.col("est_jaccard").alias("jaccard")))
+                                F.col("est_jaccard").alias("jaccard"),
+                                F.lit(True).alias("estimated")))
             uncertain = (est.filter(F.col("est_jaccard") < fast_accept)
                          .select("a", "b"))
             # the uncertainty band covers a small fraction of the corpus:
             # restrict the shingle scan to its ids (jaccard_verify doc)
             verified = jaccard_verify(uncertain, df, id_col, text_col, cfg,
-                                      t, sets=sets, restrict_sets=True)
+                                      t, sets=sets, restrict_sets=True
+                                      ).withColumn("estimated", F.lit(False))
             return verified.unionByName(accepted), overflow
         cands = est.select("a", "b")
     pairs = jaccard_verify(cands, df, id_col, text_col, cfg, t, sets=sets)

@@ -44,7 +44,7 @@ def run(
     id_col: str = "url",
     record_metrics: bool = True,
     truth_pairs: DataFrame | None = None,
-    minhash_fast_accept: float | None | str = "auto",
+    minhash_fast_accept: float | None | str = None,
 ) -> PipelineResult:
     """pages: web_pages-shaped input (url, warc_ts, html[, text], lang).
 
@@ -58,13 +58,18 @@ def run(
     the clustering against it — the analog of the reference's
     ``evaluation_full.json`` (``run_pipeline.py:504-505``).
 
-    ``minhash_fast_accept``: 'auto' (default) accepts MinHash candidates
-    whose signature-estimate Jaccard is >= threshold + 3σ without the exact
-    exploded verify (measured: ~95% of candidates on the near-dup corpus,
-    verify stage 22.5s -> 7.6s at 4 cores); recall is unaffected (the gate
-    stays pytest-covered), precision admits ~3σ-tail near-threshold pairs.
-    Pass ``None`` for exact-verify edges — bit-identical to the brute-force
-    matcher union (what ``tools/verify_drive.py`` asserts).
+    ``minhash_fast_accept``: ``None`` (default) = exact-verify edges,
+    bit-identical to the brute-force matcher union (what
+    ``tools/verify_drive.py`` asserts).  OPT-IN ``'auto'`` accepts MinHash
+    candidates whose signature-estimate Jaccard is >= threshold + 3σ
+    without the exact exploded verify (measured: ~95% of candidates on the
+    near-dup corpus, verify stage 22.5s -> 7.6s at 4 cores); recall is
+    unaffected (the gate stays pytest-covered), precision admits ~3σ-tail
+    near-threshold pairs, and the edge frame's ``jaccard`` column then
+    mixes estimates with exact values — flagged per row by the
+    ``estimated`` boolean ``minhash_edges`` adds in this mode.  Opt in only
+    when the exact verify is the measured bottleneck and the consumer
+    tolerates estimate-valued scores.
     """
     spark = pages.sparkSession
     times: dict[str, float] = {}
