@@ -133,6 +133,49 @@ def test_lsh_cosine_blocked_equals_fold(spark):
         assert blocked == fold, (probe, len(blocked), len(fold))
 
 
+def test_lsh_cosine_hot_bucket_grid_split(spark):
+    """Lossless grid split (ADVICE r3 skew hazard): forcing EVERY bucket
+    through the ns x ns sub-task grid (max_bucket_rows far below real
+    bucket sizes) must not change a single pair or cosine — only the task
+    granularity changes."""
+    from webdedup.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = {(r["a"], r["b"]): r["cosine"] for r in
+            similarity.lsh_cosine_pairs(emb, threshold=0.3, cfg=CFG).collect()}
+    split = {(r["a"], r["b"]): r["cosine"] for r in
+             similarity.lsh_cosine_pairs(
+                 emb, threshold=0.3, cfg=CFG, max_bucket_rows=8).collect()}
+    assert base and split == base, (len(base), len(split))
+
+
+def test_lsh_cosine_zero_norm_and_threshold_contract(spark):
+    """Zero-norm vectors are excluded up front (cosine undefined; numpy and
+    Catalyst disagree on NaN comparisons otherwise) and thresholds <= 0 are
+    rejected — the documented input contract (ADVICE r3)."""
+    import pytest
+    from pyspark.sql import functions as F
+    from webdedup.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    zero = spark.createDataFrame(
+        [(999_999_999, [0.0] * dim, 0)], "vec_id long, embedding array<float>, label int"
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    aug = emb.unionByName(zero)
+    blocked = {(r["a"], r["b"]): r["cosine"] for r in
+               similarity.lsh_cosine_pairs(aug, threshold=0.3, cfg=CFG).collect()}
+    fold = {(r["a"], r["b"]): r["cosine"] for r in
+            similarity.lsh_cosine_pairs(
+                aug, threshold=0.3, cfg=CFG, verify="fold").collect()}
+    assert blocked == fold
+    ids = {i for p in blocked for i in p}
+    assert 999_999_999 not in ids, "zero-norm vector leaked into pair output"
+    assert not any(c != c for c in blocked.values()), "NaN cosine emitted"
+    with pytest.raises(ValueError, match="threshold > 0"):
+        similarity.lsh_cosine_pairs(emb, threshold=0.0, cfg=CFG)
+
+
 def test_minhash_est_prefilter_keeps_recall(docs, corpus_texts):
     """Signature-estimate prefilter (minhash_search.py:81-83) 3σ under the
     verify threshold must not change what survives the exact verify where

@@ -113,7 +113,8 @@ def lsh_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
                      cfg: DedupConfig = DEFAULT,
                      bands: int | None = None,
                      probe_bits: int | None = None,
-                     verify: str = "blocked") -> DataFrame:
+                     verify: str = "blocked",
+                     max_bucket_rows: int = 2048) -> DataFrame:
     """Approximate cosine near-dup pairs: hyperplane signature -> band
     buckets (with multi-probe) -> exact cosine verify.
 
@@ -121,6 +122,12 @@ def lsh_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
     a candidate iff SOME band of their hyperplane signatures differs in
     <= ``probe_bits`` bits; survivors are pairs with rounded cosine >=
     ``threshold``.
+
+    Input contract: ``threshold`` must be > 0 (the blocked verify's HALF_UP
+    pre-round matches Spark's ROUND_HALF_UP only for positive cosines), and
+    zero-norm vectors are EXCLUDED up front — cosine is undefined for them
+    (NaN), and the two verify paths would otherwise disagree on NaN
+    comparisons (numpy: pair dropped; Catalyst: NaN > any value, pair kept).
 
     Recall/cost dial — the analog of FAISS ``index_type``/``nprobe``
     (``faiss_search.py:10-38``, ``run_pipeline.py:284-285``): with the
@@ -145,22 +152,40 @@ def lsh_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
       additionally serve as right-arm members when weight <= floor(p/2);
       by the hypercube geodesic argument (∃k: d(a,k)<=p1 ∧ d(b,k)<=p2 ⟺
       d(a,b) <= p1+p2) this covers EXACTLY Hamming <= probe_bits — 9 keys
-      per (vector, band) at probe_bits=2 instead of 37.
+      per (vector, band) at probe_bits=2 instead of 37.  Hot buckets
+      (boilerplate/near-constant embeddings colliding on one band key) are
+      LOSSLESSLY grid-split: a bucket with more than ``max_bucket_rows``
+      members is partitioned into ceil(n/max)² sub-tasks of bounded size
+      (same pairs, same values — only the task granularity changes), so a
+      single degenerate key can neither OOM one executor nor serialize the
+      stage — the vector-side analog of the text operators' salting.
     - ``'fold'``: the round-2 plan — ids-only band join, distinct (a, b),
       vectors joined back once per side, cosine as a Catalyst ``aggregate``
       fold.  Kept as the pure-Catalyst reference; same output bit-for-bit.
     """
+    if threshold <= 0:
+        raise ValueError(
+            f"lsh_cosine_pairs requires threshold > 0, got {threshold} "
+            "(the blocked verify's HALF_UP pre-round is only equivalent to "
+            "Spark rounding for positive cosines)")
     if bands is None:
         bands = cfg.hyperplane_bands
     if probe_bits is None:
         probe_bits = cfg.hyperplane_probe_bits
     width = cfg.hyperplane_bits // bands
     df = ensure_min_partitions(df)  # band explode fan-out guard
+    # zero-norm vectors have undefined cosine; drop them before signatures
+    # so both verify paths see the same corpus (see docstring contract)
+    df = df.filter(_dot(F.col(vec_col), F.col(vec_col)) > 0)
     sig = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
                     vector_simhash_udf(cfg)(F.col(vec_col)).alias("sig"))
     if verify == "blocked":
+        # lazy checkpoint: the UDF subtree is shared by the hot-bucket count
+        # arm and the data arm of the grid split
+        sig = sig.localCheckpoint(eager=False)
         return _lsh_blocked_verify(sig, df.schema[id_col].dataType,
-                                   threshold, bands, width, probe_bits)
+                                   threshold, bands, width, probe_bits,
+                                   max_bucket_rows)
     if verify != "fold":
         raise ValueError(verify)
 
@@ -205,7 +230,8 @@ def lsh_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
 
 
 def _lsh_blocked_verify(sig: DataFrame, id_type, threshold: float,
-                        bands: int, width: int, probe_bits: int) -> DataFrame:
+                        bands: int, width: int, probe_bits: int,
+                        max_bucket_rows: int = 2048) -> DataFrame:
     """Per-bucket matmul verify for ``lsh_cosine_pairs`` (see its docstring).
 
     Bucket rows carry (id, vec, ex): every row probes the masks of weight
@@ -215,6 +241,17 @@ def _lsh_blocked_verify(sig: DataFrame, id_type, threshold: float,
     the threshold are emitted, then deduped globally (a pair can surface in
     several bands/probe keys with the bitwise-identical raw cosine — the
     gemm's K-dim summation order is fixed by dim, not by bucket shape).
+
+    Hot-bucket handling (lossless grid split): buckets above
+    ``max_bucket_rows`` members are detected with a cheap narrow count
+    (broadcast back — only oversized keys travel), then each member is
+    routed into an ns x ns grid of sub-buckets, ns = ceil(n/max): a row in
+    hash-group g serves as LEFT in sub-buckets (g, *) and (if ``ex``) as
+    RIGHT in (*, g), so every (left, right) pair meets in exactly one
+    sub-bucket.  Total gemm work is unchanged; per-task memory is bounded
+    by ~2·max rows and a max² cosine block (~32 MB at the 2048 default)
+    regardless of how degenerate the key distribution is.  Normal buckets
+    take the ns=1 path: a single copy per row, same as before.
     """
     import numpy as np
     import pandas as pd
@@ -234,33 +271,64 @@ def _lsh_blocked_verify(sig: DataFrame, id_type, threshold: float,
                 F.lit(bin(m).count("1") <= p_right).alias("ex")))
     exploded = (sig.select("id", "vec", F.explode(F.array(*structs)).alias("tb"))
                 .select("id", "vec", "tb.band_id", "tb.band_key", "tb.ex"))
+
+    # oversized keys only: NARROW keys-only re-explode (2 ints/row, no
+    # vectors) -> map-side-combined count -> tiny result, broadcast back
+    hot = (sig.select(F.explode(F.array(*structs)).alias("tb"))
+           .select("tb.band_id", "tb.band_key")
+           .groupBy("band_id", "band_key")
+           .agg(F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") > max_bucket_rows))
+    exploded = exploded.join(F.broadcast(hot), ["band_id", "band_key"], "left")
+    ns = F.coalesce(F.ceil(F.col("_n") / max_bucket_rows).cast("int"), F.lit(1))
+    g = F.pmod(F.xxhash64(F.col("id")), ns).cast("int")
+    seq = F.sequence(F.lit(0), ns - 1)
+    copies = F.concat(
+        # left copies: sub-buckets (g, j); the (g, g) cell doubles as this
+        # row's right-arm slot so it is emitted once with both roles
+        F.transform(seq, lambda j: F.struct(
+            g.alias("sl"), j.alias("sr"), F.lit(True).alias("lft"),
+            (F.col("ex") & (j == g)).alias("rgt"))),
+        # right-only copies: sub-buckets (i, g), i != g
+        F.filter(
+            F.transform(seq, lambda i: F.struct(
+                i.alias("sl"), g.alias("sr"), F.lit(False).alias("lft"),
+                F.col("ex").alias("rgt"))),
+            lambda s: s["rgt"] & (s["sl"] != g)),
+    )
+    gridded = (exploded
+               .select("id", "vec", "band_id", "band_key",
+                       F.explode(copies).alias("s"))
+               .select("id", "vec", "band_id", "band_key",
+                       "s.sl", "s.sr", "s.lft", "s.rgt"))
     out_schema = StructType([StructField("a", id_type),
                              StructField("b", id_type),
                              StructField("cosine", DoubleType())])
     thr = float(threshold)
 
     def _bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        ex_mask = pdf["ex"].to_numpy()
-        ex = pdf[ex_mask]
-        if len(ex) == 0 or len(pdf) < 2:
+        l_mask = pdf["lft"].to_numpy()
+        r_mask = pdf["rgt"].to_numpy()
+        if not r_mask.any() or not l_mask.any() or len(pdf) < 2:
             return pd.DataFrame({"a": pdf["id"].iloc[:0],
                                  "b": pdf["id"].iloc[:0],
                                  "cosine": pd.Series([], dtype="float64")})
-        XL = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-        XR = XL[ex_mask]
+        XL = np.stack(pdf["vec"].to_numpy()[l_mask]).astype(np.float64)
+        XR = np.stack(pdf["vec"].to_numpy()[r_mask]).astype(np.float64)
         nl = np.sqrt((XL * XL).sum(axis=1))
-        cos = (XL @ XR.T) / np.outer(nl, nl[ex_mask])
+        nr = np.sqrt((XR * XR).sum(axis=1))
+        cos = (XL @ XR.T) / np.outer(nl, nr)
         r6 = np.floor(cos * 1e6 + 0.5) / 1e6   # HALF_UP; survivors are > 0
         il, ir = np.nonzero(r6 >= thr)
-        ida = pdf["id"].to_numpy()[il]
-        idb = ex["id"].to_numpy()[ir]
+        ida = pdf["id"].to_numpy()[l_mask][il]
+        idb = pdf["id"].to_numpy()[r_mask][ir]
         keep = ida != idb
         ida, idb, raw = ida[keep], idb[keep], cos[il, ir][keep]
         return pd.DataFrame({"a": np.minimum(ida, idb),
                              "b": np.maximum(ida, idb),
                              "cosine": raw})
 
-    return (exploded.groupBy("band_id", "band_key")
+    return (gridded.groupBy("band_id", "band_key", "sl", "sr")
             .applyInPandas(_bucket, schema=out_schema)
             .withColumn("cosine", F.round("cosine", 6))
             .distinct())
