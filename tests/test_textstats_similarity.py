@@ -234,3 +234,33 @@ def test_subtoken_stats_edges(spark):
     assert got[3]["n_pieces"] == 0 and got[3]["fertility"] == 0.0
     assert got[4]["n_pieces"] == 3 and got[4]["n_unique_pieces"] == 1
     assert got[4]["avg_piece_len"] == 1.0
+
+
+def test_textstats_null_text_cross_engine(spark):
+    """NULL text must behave as '' in BOTH engines (ADVICE r3: Spark's
+    non-ANSI F.size(NULL) is -1 while DuckDB returns NULL — the fixtures
+    never exercised NULL, so the driver oracle could not catch it)."""
+    import duckdb
+    import pandas as pd
+    from webdedup import oracle_sql as osql
+
+    rows = [(1, "the quick brown fox"), (2, None), (3, ""), (4, "für die der!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    cases = {
+        "token_stats": (textstats.token_stats, osql.token_stats()),
+        "subtoken_stats": (textstats.subtoken_stats, osql.subtoken_stats()),
+        "quality_scores": (textstats.quality_scores, osql.quality_scores()),
+        "lang_id": (textstats.lang_id, osql.lang_id()),
+        "doc_fingerprint": (textstats.doc_fingerprint, osql.doc_fingerprint()),
+    }
+    for name, (op, sql) in cases.items():
+        res = op(df)
+        cols = res.columns
+        got = {tuple(r) for r in res.collect()}
+        exp = {tuple(r) for r in con.sql(
+            f"SELECT {', '.join(cols)} FROM ({sql})").fetchall()}
+        assert got == exp, (name, got ^ exp)
+        null_row = next(t for t in got if t[0] == 2)
+        assert -1 not in null_row and None not in null_row[1:], (name, null_row)

@@ -35,11 +35,20 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 STOPWORDS = LANG_MARKERS["en"]
 
 
+def _txt(text_col: str) -> Column:
+    """NULL-safe text: NULL behaves as '' (zero counts / ratios) in every
+    operator here, matching the signature UDFs' ``text or ""`` and the
+    coalesced DuckDB twins.  Without this, ``F.size(F.split(NULL))`` is -1
+    under non-ANSI semantics while DuckDB returns NULL — engine-dependent
+    nonsense on any nullable text column (ADVICE r3)."""
+    return F.coalesce(F.col(text_col), F.lit(""))
+
+
 def token_stats(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, n_unique_tokens, avg_token_len) — whitespace +
     lowercase token accounting (SURVEY §2.4 A2 as a standalone operator)."""
-    toks = tokens_col(F.col(text_col))
+    toks = tokens_col(_txt(text_col))
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).alias("n_tokens"),
@@ -60,12 +69,12 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """(doc_id, n_chars, n_tokens, stopword_ratio, punct_ratio, uniq_ratio,
     quality) — cheap heuristic quality signals (Gopher/C4-style filters)."""
-    toks = tokens_col(F.col(text_col))
+    toks = tokens_col(_txt(text_col))
     n_tok = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    n_chars = F.length(F.col(text_col))
-    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    n_chars = F.length(_txt(text_col))
+    n_punct = n_chars - F.length(F.regexp_replace(_txt(text_col), r"[^\w\s]", ""))
     uniq = F.size(F.array_distinct(toks))
     stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(0.0)
     punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
@@ -90,7 +99,7 @@ def lang_id(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """(doc_id, pred_lang, lang_score) — argmax of marker-word hit counts,
     ties broken by language code; 'und' when nothing matches."""
-    toks = tokens_col(F.col(text_col))
+    toks = tokens_col(_txt(text_col))
     scores = []
     for lang in sorted(LANG_MARKERS):
         markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
@@ -116,7 +125,7 @@ def doc_fingerprint(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """(doc_id, fingerprint) — 60-bit content fingerprint of the normalized
     token stream (md5-derived; stable across engines and whitespace noise)."""
-    normalized = F.concat_ws(" ", tokens_col(F.col(text_col)))
+    normalized = F.concat_ws(" ", tokens_col(_txt(text_col)))
     return df.select(
         F.col(id_col).alias("doc_id"),
         h60_col(normalized).alias("fingerprint"),
@@ -137,8 +146,8 @@ def subtoken_stats(df: DataFrame, id_col: str = "doc_id",
     splits.  ``fertility`` = pieces per whitespace token, the standard
     tokenizer-cost metric a training-data pipeline budgets by.  Pure
     Catalyst (``regexp_extract_all`` is JVM-side); exact DuckDB twin."""
-    pieces = F.regexp_extract_all(F.col(text_col), F.lit(SUBTOKEN_PATTERN), 0)
-    toks = tokens_col(F.col(text_col))
+    pieces = F.regexp_extract_all(_txt(text_col), F.lit(SUBTOKEN_PATTERN), 0)
+    toks = tokens_col(_txt(text_col))
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.size(pieces).alias("n_pieces"),

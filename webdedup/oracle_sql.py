@@ -21,18 +21,21 @@ from webdedup.operators.textstats import LANG_MARKERS, STOPWORDS
 
 # PATTERN NOTE: RE2's \s is [ \t\n\f\r] (no \x0b); adding \x0b makes the
 # split identical to java.util.regex \s+ used by the Spark side (and to the
-# explicit ASCII class in tokenize.tokenize_py).
+# explicit ASCII class in tokenize.tokenize_py).  text is coalesced to ''
+# so NULL text yields zero counts in BOTH engines, matching the Spark
+# operators' NULL-safe ``_txt`` wrapper (textstats.py) and the signature
+# UDFs' ``text or ""``.
 TOKS_CTE = r"""
 toks AS (
   SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(lower(text), '[\s\x0b]+'), t -> t <> '')) AS tok
+         unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[\s\x0b]+'), t -> t <> '')) AS tok
   FROM documents
 )"""
 
 TOKLIST_CTE = r"""
 toklist AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[\s\x0b]+'), t -> t <> '') AS toks
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[\s\x0b]+'), t -> t <> '') AS toks
   FROM documents
 )"""
 
@@ -121,7 +124,7 @@ def subtoken_stats() -> str:
     return f"""
 WITH {TOKLIST_CTE.strip()},
 p AS (
-  SELECT doc_id, regexp_extract_all(text, '{pat}') AS pieces
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '{pat}') AS pieces
   FROM documents
 )
 SELECT p.doc_id,
@@ -143,8 +146,9 @@ def quality_scores() -> str:
 WITH {TOKLIST_CTE.strip()},
 q AS (
   SELECT doc_id,
-         length(text) AS n_chars,
-         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         length(coalesce(text, '')) AS n_chars,
+         length(coalesce(text, ''))
+           - length(regexp_replace(coalesce(text, ''), '[^\\w\\s]', '', 'g')) AS n_punct,
          len(toks) AS n_tok,
          len(list_distinct(toks)) AS uniq,
          len(list_filter(toks, t -> list_contains([{stop}], t))) AS n_stop
@@ -190,10 +194,11 @@ FROM best b
 
 
 def doc_fingerprint() -> str:
+    # coalesce: DuckDB array_to_string([]) is NULL, Spark concat_ws is ''
     return f"""
 WITH {TOKLIST_CTE.strip()}
 SELECT doc_id,
-       ('0x' || substr(md5(array_to_string(toks, ' ')), 1, 15))::BIGINT AS fingerprint
+       ('0x' || substr(md5(coalesce(array_to_string(toks, ' '), '')), 1, 15))::BIGINT AS fingerprint
 FROM toklist
 """
 
