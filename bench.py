@@ -112,17 +112,20 @@ def _calib_work(n: int) -> int:  # module-level: picklable for mp.Pool
 
 
 def run_headline() -> tuple[dict[str, float], float, dict[str, list[float]]]:
-    """Time each headline query ``HEADLINE_ATTEMPTS`` times; keep per-query
-    minima.
+    """Time each headline query ``HEADLINE_ATTEMPTS`` times; the recorded
+    headline is the BEST SINGLE COMPLETE ATTEMPT (the attempt with the
+    smallest total), and ``queries`` reports THAT attempt's per-query times
+    — a run that actually happened, never a sum-of-minima composite
+    assembled across attempts (ADVICE r3).
 
     Contention guard: this host has multi-minute contention spikes (measured
     run-to-run wall variance 1.5-4x — the r02 artifact recorded 107.9s for a
     suite whose quiet-host band is 40-68s).  The queries are deterministic,
-    so min-of-N is the least-contended observation of the same work; both
-    attempts are reported in the artifact.  The memoized shared frames
-    (matcher edges / assignments) are dropped between attempts so attempt 2
-    re-derives them — JVM/codegen warmth carries over (legitimate engine
-    state), cached RESULTS do not.
+    so the least-contended complete attempt is the honest observation of the
+    same work; every attempt's per-query times are reported in the artifact.
+    The memoized shared frames (matcher edges / assignments) are dropped
+    between attempts so attempt 2 re-derives them — JVM/codegen warmth
+    carries over (legitimate engine state), cached RESULTS do not.
     """
     import __spark_entry__ as entrymod
     from webdedup.session import get_spark
@@ -148,8 +151,11 @@ def run_headline() -> tuple[dict[str, float], float, dict[str, list[float]]]:
             print(f"# [attempt {att + 1}] {name}: {dt:.2f}s ({n} rows)",
                   file=sys.stderr)
     spark.stop()
-    out = {name: min(ts) for name, ts in attempts.items()}
-    return out, sum(out.values()), attempts
+    totals = [sum(attempts[name][att] for name in HEADLINE)
+              for att in range(max(1, HEADLINE_ATTEMPTS))]
+    best = min(range(len(totals)), key=totals.__getitem__)
+    out = {name: attempts[name][best] for name in HEADLINE}
+    return out, totals[best], attempts
 
 
 def run_pipeline_at(cores: int) -> tuple[float, dict]:
