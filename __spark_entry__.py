@@ -133,6 +133,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- exact dedup (SURVEY A1/S3) ---
     q["exact_dup_groups"] = lambda s, d: exact.exact_dup_groups(_docs(s, d))
+
+    # the driver's documents tables have NO duplicate texts at sf0.001 or
+    # sf0.01, so the row above passes vacuously (0 == 0).  This variant
+    # makes the A1 aggregation NON-vacuous: union the corpus with clones of
+    # its 10 smallest-md5(doc_id) docs (clone id = -doc_id), the SAME
+    # deterministic augmentation expressed in the DuckDB twin — the
+    # groups/min/max/count semantics are then hash-checked on real groups.
+    def _planted(s: SparkSession, d: str) -> DataFrame:
+        base = _docs(s, d).select("doc_id", "text")
+        clones = (base
+                  .withColumn("_h", F.md5(F.col("doc_id").cast("string")))
+                  .orderBy("_h", "doc_id").limit(10)
+                  .select((-F.col("doc_id")).alias("doc_id"), "text"))
+        return exact.exact_dup_groups(base.unionByName(clones))
+
+    q["exact_dup_groups_planted"] = _planted
     q["content_hashes"] = lambda s, d: exact.with_content_hash(
         _docs(s, d)).select("doc_id", "content_sha")
 
@@ -381,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dup_groups": oracle_sql_mod.exact_dup_groups(),
+        "exact_dup_groups_planted": oracle_sql_mod.exact_dup_groups_planted(),
         "content_hashes": oracle_sql_mod.content_hashes(),
         "token_stats": oracle_sql_mod.token_stats(),
         "subtoken_stats": oracle_sql_mod.subtoken_stats(),

@@ -99,6 +99,28 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 """
 
 
+def exact_dup_groups_planted() -> str:
+    """Non-vacuous A1 twin: the same clone augmentation as the Spark query
+    (10 smallest-md5(doc_id) docs cloned with negated ids) so the group
+    aggregation is exercised on real multi-member groups regardless of the
+    corpus having natural duplicates."""
+    return """
+WITH seed AS (
+  SELECT doc_id, text FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 10
+),
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT -doc_id, text FROM seed
+)
+SELECT sha256(text) AS content_sha,
+       count(*)::BIGINT AS n_members,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id
+FROM aug GROUP BY 1 HAVING count(*) > 1
+"""
+
+
 def content_hashes() -> str:
     return "SELECT doc_id, sha256(text) AS content_sha FROM documents"
 
