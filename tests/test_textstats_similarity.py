@@ -217,6 +217,28 @@ def test_cluster_quality_sampled_silhouette(spark):
     assert got["calinski_harabasz"] == exact["calinski_harabasz"]
 
 
+def test_cluster_quality_auto_sample_guard(spark):
+    """Safety default (VERDICT r3 #8): exact silhouette over more rows than
+    silhouette_exact_max_rows auto-engages the bounded sampled path instead
+    of an n² cross join; below the threshold exact runs unchanged."""
+    from webdedup.operators.cluster_quality import cluster_quality
+
+    rows, _, _ = _rand_labeled_vecs(n=48, dim=6, k=4, seed=11)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    # guard trips (threshold below row count): identical to the explicit
+    # sampled call with the auto sample size
+    guarded = cluster_quality(
+        df, silhouette_exact_max_rows=10, silhouette_auto_sample=5).collect()[0]
+    sampled = cluster_quality(df, silhouette_sample_per_cluster=5).collect()[0]
+    assert guarded == sampled
+    # guard idle (default threshold far above): exact result unchanged, and
+    # an explicit opt-out produces the same
+    exact = cluster_quality(df).collect()[0]
+    forced = cluster_quality(df, silhouette_exact_max_rows=None).collect()[0]
+    assert exact == forced
+    assert guarded != exact  # the fixture makes the sampled estimate differ
+
+
 def test_subtoken_stats_edges(spark):
     rows = [
         (1, "hello world42, it's 9am!"),

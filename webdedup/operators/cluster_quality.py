@@ -37,15 +37,31 @@ from pyspark.sql import functions as F
 def cluster_quality(df: DataFrame, id_col: str = "vec_id",
                     vec_col: str = "embedding",
                     label_col: str = "label",
-                    silhouette_sample_per_cluster: int | None = None
-                    ) -> DataFrame:
+                    silhouette_sample_per_cluster: int | None = None,
+                    silhouette_exact_max_rows: int = 100_000,
+                    silhouette_auto_sample: int = 256) -> DataFrame:
     """One-row frame: (silhouette, davies_bouldin, calinski_harabasz).
 
     ``silhouette_sample_per_cluster=m`` bounds the O(n^2) silhouette stage
     to a per-cluster sample of ``m`` points (see module doc); ``None`` =
     exact over all points.  With ``m`` >= every cluster size the result is
     identical to exact.
+
+    Safety default: when exact is requested (``None``) over more than
+    ``silhouette_exact_max_rows`` input rows, the sampled path auto-engages
+    with ``silhouette_auto_sample`` points per cluster instead of building
+    an n² cross join — a naive caller on a 10⁶-row table gets the bounded
+    deterministic estimate, not an accidental 10¹²-row stage.  Pass
+    ``silhouette_exact_max_rows=None`` to force exact at any size (the
+    cost is then on the caller, explicitly).  The guard costs one count()
+    of the input and engages only above the threshold, so oracle-checked
+    small-table calls are byte-identical to before.
     """
+    if (silhouette_sample_per_cluster is None
+            and silhouette_exact_max_rows is not None):
+        n_rows = df.count()
+        if n_rows > silhouette_exact_max_rows:
+            silhouette_sample_per_cluster = silhouette_auto_sample
     v = df.select(
         F.col(id_col).alias("id"), F.col(label_col).alias("lbl"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"))
