@@ -75,6 +75,49 @@ def test_resume_skips_and_reproduces(pages, work_dir, result):
     assert checkpoint.exists(work_dir, "assignments")
 
 
+def test_resume_after_mid_stage_kill(pages):
+    """A run killed BETWEEN stages (stage N committed its _SUCCESS, stage
+    N+1 lost — and one stage dead mid-write: files present, no marker)
+    must resume to value-identical final outputs, reusing the committed
+    upstream stages as-is (north_rule: checkpoint-resumable restarts)."""
+    import os
+
+    d = tempfile.mkdtemp(prefix="webdedup_midkill_")
+    try:
+        r1 = pipeline.run(pages, d, cfg=CFG, resume=True,
+                          record_metrics=False)
+        snap1 = tuple(
+            sorted(map(tuple, df.collect()))
+            for df in (r1.assignments, r1.representatives, r1.cluster_sizes))
+        # simulate the kill: everything after `signatures` is gone...
+        for name in ("edges_exact", "edges_simhash", "edges_minhash",
+                     "edges_substring", "simhash_bucket_overflow",
+                     "minhash_bucket_overflow", "assignments",
+                     "representatives", "cluster_sizes"):
+            shutil.rmtree(checkpoint.table_path(d, name), ignore_errors=True)
+        # ...and edges_minhash died mid-write: data files but NO _SUCCESS
+        junk = checkpoint.table_path(d, "edges_minhash")
+        os.makedirs(junk)
+        with open(os.path.join(junk, "part-00000-dead.parquet"), "wb") as f:
+            f.write(b"not parquet")
+        assert not checkpoint.exists(d, "edges_minhash")
+        kept = {name: os.path.getmtime(
+            os.path.join(checkpoint.table_path(d, name), "_SUCCESS"))
+            for name in ("documents", "signatures")}
+        r2 = pipeline.run(pages, d, cfg=CFG, resume=True,
+                          record_metrics=False)
+        snap2 = tuple(
+            sorted(map(tuple, df.collect()))
+            for df in (r2.assignments, r2.representatives, r2.cluster_sizes))
+        assert snap2 == snap1
+        for name, t in kept.items():  # committed stages were reused, not rebuilt
+            assert os.path.getmtime(os.path.join(
+                checkpoint.table_path(d, name), "_SUCCESS")) == t, name
+        assert checkpoint.exists(d, "edges_minhash")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_representatives_deterministic(result):
     reps = {r["cluster_id"]: r["representative_id"]
             for r in result.representatives.collect()}
