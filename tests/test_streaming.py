@@ -111,6 +111,103 @@ def test_incremental_matcher_covers_all_pairs(spark, stream_dirs):
         stream_dirs["out"] + "/" + incremental.PAIRS_TABLE).count() == n_before
 
 
+def _page(url, ts, text):
+    return (url, ts, f"<p>{text}</p>".encode(), text, "en")
+
+
+def test_late_row_beyond_watermark_is_dropped(spark, stream_dirs):
+    """The documented lateness contract (windows.py): a row arriving after
+    the watermark closed its window is DROPPED — the emitted window row is
+    final (append mode emits exactly once) and is never re-stated."""
+    import datetime as dt
+
+    from webdedup.streaming import windows as win
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    run1 = [_page("u1", t0 + dt.timedelta(minutes=1), "alpha text"),
+            _page("u2", t0 + dt.timedelta(minutes=2), "beta text"),
+            _page("s1", t0 + dt.timedelta(hours=6), "sentinel one")]
+    spark.createDataFrame(run1, schema=corpus.WEB_PAGES_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(stream_dirs["in"])
+
+    def run_once():
+        stream = ingest.enrich_stream(
+            ingest.read_page_stream(spark, stream_dirs["in"],
+                                    max_files_per_trigger=1))
+        q = win.write_window_stats_stream(
+            win.window_dup_stats(stream, window="5 minutes",
+                                 watermark="2 minutes"),
+            stream_dirs["out"], stream_dirs["ckpt"], once=True)
+        q.awaitTermination(180)
+
+    run_once()
+    w1 = [r for r in spark.read.parquet(stream_dirs["out"]).collect()
+          if r["window_start"] == t0]
+    assert len(w1) == 1 and w1[0]["n_pages"] == 2
+
+    # a late arrival INSIDE the closed [00:00, 00:05) window, while the
+    # restored watermark is ~05:58 — must not emit or restate anything
+    run2 = [_page("late", t0 + dt.timedelta(minutes=3), "late text"),
+            _page("s2", t0 + dt.timedelta(hours=7), "sentinel two")]
+    spark.createDataFrame(run2, schema=corpus.WEB_PAGES_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(stream_dirs["in"])
+    run_once()
+
+    out = spark.read.parquet(stream_dirs["out"]).collect()
+    w1 = [r for r in out if r["window_start"] == t0]
+    assert len(w1) == 1, "closed window was re-stated"
+    assert w1[0]["n_pages"] == 2, "late row leaked into a closed window"
+    # the run-1 sentinel's window closed in run 2 (watermark advanced)
+    s1w = [r for r in out
+           if r["window_start"] == t0 + dt.timedelta(hours=6)]
+    assert len(s1w) == 1 and s1w[0]["n_pages"] == 1
+
+
+def test_dedup_stream_state_evicts_after_watermark(spark, stream_dirs):
+    """dropDuplicatesWithinWatermark contract: a duplicate INSIDE the
+    watermark window is suppressed; once the watermark passes, the key's
+    state is EVICTED and a re-crawl of the same content is emitted again
+    (the periodic batch pipeline collapses those)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    run1 = [_page("x1", t0, "repeat content"),
+            _page("x2", t0 + dt.timedelta(minutes=10), "repeat content"),
+            _page("s1", t0 + dt.timedelta(hours=6), "sentinel one")]
+    spark.createDataFrame(run1, schema=corpus.WEB_PAGES_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(stream_dirs["in"])
+
+    def run_once():
+        stream = ingest.read_page_stream(spark, stream_dirs["in"],
+                                         max_files_per_trigger=1)
+        q = ingest.write_signature_stream(
+            ingest.dedup_stream(ingest.enrich_stream(stream),
+                                watermark="1 hour"),
+            stream_dirs["out"], stream_dirs["ckpt"], once=True)
+        q.awaitTermination(180)
+
+    run_once()
+    out = spark.read.parquet(stream_dirs["out"])
+    reps = out.filter(F.col("text") == "repeat content").collect()
+    assert len(reps) == 1 and reps[0]["url"] == "x1", \
+        "within-watermark duplicate not suppressed"
+
+    # restored watermark ~05:00 evicted x1's state (expiry 01:00): the
+    # re-crawl emits again; its own immediate duplicate is suppressed
+    run2 = [_page("x3", t0 + dt.timedelta(hours=6, minutes=30),
+                  "repeat content"),
+            _page("x4", t0 + dt.timedelta(hours=6, minutes=31),
+                  "repeat content")]
+    spark.createDataFrame(run2, schema=corpus.WEB_PAGES_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(stream_dirs["in"])
+    run_once()
+
+    reps = spark.read.parquet(stream_dirs["out"]) \
+        .filter(F.col("text") == "repeat content").collect()
+    assert len(reps) == 2, "evicted key was not re-emitted on re-crawl"
+    assert {r["url"] for r in reps} == {"x1", "x3"}
+
+
 def test_windowed_dup_stats_batch_parity(spark, stream_dirs):
     """Streaming windowed dup-rate (chained window aggs, append mode) must
     equal the same computation run as a batch query, for every window the
