@@ -132,6 +132,33 @@ def test_ivf2_probe_monotone(spark):
     assert narrow <= wide, "more probes -> superset of candidates"
 
 
+def test_ivf2_recall_nprobe_sweep(spark):
+    """The faiss-nprobe dial (VERDICT r3 #2), measured in the LOW-threshold
+    stress regime (0.3 — mid-similarity pairs, where BENCH.md documents
+    ~48% recall at the (2,2) default): recall vs the exact cosine oracle is
+    monotone non-decreasing along an increasing probe chain, reaches >=0.9
+    at the DOCUMENTED setting (6,4), and is exactly 1.0 at the full coarse
+    probe (nprobe1=k1: every pair then shares its storage key with some
+    probe key).  The dial table lives in BENCH.md §ivf2."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {(r["a"], r["b"])
+             for r in similarity.cosine_pairs(emb, threshold=0.3).collect()}
+    assert exact
+    chain = [(1, 1), (1, 2), (2, 2), (2, 4), (4, 4), (6, 4), (8, 4)]
+    recalls = []
+    for np1, np2 in chain:
+        got = {(r["a"], r["b"]) for r in similarity.ivf2_cosine_pairs(
+            emb, threshold=0.3, k1=8, k2=4,
+            nprobe1=np1, nprobe2=np2).collect()}
+        assert got <= exact, "verify admits only true pairs"
+        recalls.append(len(got & exact) / len(exact))
+    assert all(a <= b for a, b in zip(recalls, recalls[1:])), \
+        f"recall not monotone along the probe chain: {recalls}"
+    assert recalls[chain.index((6, 4))] >= 0.9, \
+        f"documented high-recall setting (6,4) below 0.9: {recalls}"
+    assert recalls[-1] == 1.0, "full coarse probe must cover every pair"
+
+
 def _numpy_cluster_quality(X, labels):
     """Independent closed-form implementation (sklearn formulas)."""
     n = len(X)

@@ -415,6 +415,13 @@ def ivf2_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
     tables stay broadcastable; buckets average n/(k1·k2) members; probing
     costs nprobe1·nprobe2 bucket lookups — the same recall/cost dial HNSW's
     ef-search turns.
+
+    Recall dial (measured — BENCH.md §ivf2, pinned by the
+    ``test_ivf2_recall_nprobe_sweep`` monotone chain): near-dup thresholds
+    (>= 0.9) keep the (2,2) default (planted-twin recall 0.9998 at 50k
+    vectors); for mid-similarity retrieval raise ``nprobe1`` first —
+    at k1=8/k2=4, threshold 0.3: (2,2) ≈ 0.48, (4,4) ≈ 0.88, (6,4) ≈ 0.98,
+    and ``nprobe1=k1`` is exact coverage by construction.
     """
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     # level-1: nprobe1 nearest of k1 coarse centroids per vector
