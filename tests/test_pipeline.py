@@ -127,6 +127,35 @@ def test_representatives_deterministic(result):
     assert all(n >= 1 for n in sizes.values())
 
 
+def test_pipeline_recall_tokmix(spark, pages):
+    """Production hash scheme (VERDICT r3 #3): with hash_scheme='tokmix'
+    (per-token md5 + vectorized window mix, no per-shingle md5) the golden
+    recall gate must still hold, and the signature stage must be
+    deterministic (partition-layout independent)."""
+    from dataclasses import replace
+
+    from webdedup.functions.signatures import all_signatures
+
+    cfg = replace(CFG, hash_scheme="tokmix")
+    d = tempfile.mkdtemp(prefix="webdedup_tokmix_")
+    try:
+        truth = spark.createDataFrame(
+            [(a, b) for a, b, _ in corpus.golden_pairs(CFG.seed, N_GROUPS)],
+            "a string, b string")
+        res = pipeline.run(pages, d, cfg=cfg, resume=False, truth_pairs=truth)
+        rep = {r["metric"]: r["value"] for r in res.report.collect()}
+        assert rep["eval/recall"] >= 0.99, rep["eval/recall"]
+        assert rep["eval/precision"] >= 0.95, rep["eval/precision"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    docs = with_extracted_text(pages.select("url", "html")) \
+        .select(F.col("url").alias("doc_id"), "text").limit(40)
+    s1 = sorted(map(tuple, all_signatures(docs, cfg=cfg).collect()))
+    s2 = sorted(map(tuple,
+                    all_signatures(docs.repartition(7), cfg=cfg).collect()))
+    assert s1 == s2
+
+
 def test_extraction_invariant(pages):
     """Byte-identical extracted text per url (input_hint) — rerun twice."""
     ext1 = with_extracted_text(

@@ -26,6 +26,17 @@ class DedupConfig:
 
     # --- text -> token stream ---
     shingle_k: int = 5            # 5-gram token shingles (SURVEY §2.2 P8)
+    # shingle/anchor hash scheme for the FUSED signature stage:
+    # - 'md5'    (default): one md5 per shingle string — portable to the
+    #   DuckDB twins, the only oracle-checked scheme.
+    # - 'tokmix' (production opt-in): one md5 per DISTINCT TOKEN (already
+    #   paid by SimHash, cached per batch) + a vectorized numpy polynomial
+    #   mix per shingle window — removes the per-shingle md5 that is the
+    #   measured floor of the signatures stage (VERDICT r3 #3).  Same
+    #   dedup semantics (equal shingles => equal hashes; 60-bit collision
+    #   mass is negligible), different hash VALUES — so no SQL twin; the
+    #   golden recall gate pytest-covers it (test_pipeline_recall_tokmix).
+    hash_scheme: str = "md5"
 
     # --- SimHash (64-bit fingerprint + bit-sampling LSH) ---
     simhash_bits: int = 64
@@ -84,6 +95,7 @@ class DedupConfig:
     cc_local_finish_max_bytes: int = 64_000_000
 
     def __post_init__(self) -> None:
+        assert self.hash_scheme in ("md5", "tokmix"), self.hash_scheme
         assert self.minhash_bands * self.minhash_rows == self.minhash_perms
         assert self.simhash_bits % self.simhash_bands == 0
         assert self.simhash_bands > self.hamming_threshold, (

@@ -148,6 +148,27 @@ def vector_simhash_udf(cfg: DedupConfig = DEFAULT) -> Column:
 # Fused signature pass (pipeline fast path)
 # ---------------------------------------------------------------------------
 
+_MIX = np.uint64(0x9E3779B97F4A7C15)   # golden-ratio odd multiplier
+
+
+def _window_mix(th: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized k-gram window hashes over per-token 64-bit hashes:
+    S_j = ((h_j·M ⊕ h_{j+1})·M ⊕ ...) over window j..j+k-1 (mod 2^64, numpy
+    wrapping).  Position-sensitive (multiply-xor chain), one slice op per
+    window position instead of one md5 per shingle string.  Docs shorter
+    than k tokens yield ONE window over all tokens — same convention as
+    ``shingles_py``."""
+    n = th.size
+    if n == 0:
+        return th[:0]
+    kk = min(k, n)
+    m = n - kk + 1
+    S = th[0:m].copy()
+    for i in range(1, kk):
+        S = S * _MIX ^ th[i:m + i]
+    return S
+
+
 def all_signatures(df, cfg: DedupConfig = DEFAULT,
                    id_col: str = "doc_id", text_col: str = "text"):
     """One ``mapInPandas`` pass computing EVERY per-doc signature:
@@ -163,7 +184,18 @@ def all_signatures(df, cfg: DedupConfig = DEFAULT,
     write) where the naive pipeline paid four stage floors.
 
     Output values are bit-identical to the individual operators
-    (the oracle/equivalence tests compare them directly).
+    (the oracle/equivalence tests compare them directly) — under the
+    default ``cfg.hash_scheme='md5'``.
+
+    ``cfg.hash_scheme='tokmix'`` (production opt-in, VERDICT r3 #3): the
+    per-shingle md5 — the measured floor of this stage — is replaced by a
+    vectorized ``_window_mix`` over the per-token 64-bit hashes that the
+    SimHash pass already computed and cached.  md5 calls drop from
+    O(#shingles · shingle_chars) to O(#distinct tokens · token_chars);
+    shingle identity is preserved (equal token windows ⟹ equal hashes,
+    60-bit collision mass negligible), so dedup SEMANTICS are unchanged
+    while hash VALUES differ — no DuckDB twin, recall gate pytest-covered
+    (``test_pipeline_recall_tokmix``), measured in BENCH.md §tokmix.
     """
     import hashlib
     from collections.abc import Iterator
@@ -185,6 +217,7 @@ def all_signatures(df, cfg: DedupConfig = DEFAULT,
     p = np.uint64(hashing.MERSENNE61)
     empty_sig = [int(p)] * cfg.minhash_perms
     K, mod, k = cfg.anchor_tokens, cfg.anchor_mod, cfg.shingle_k
+    scheme = cfg.hash_scheme
     md5 = hashlib.md5
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -198,9 +231,28 @@ def all_signatures(df, cfg: DedupConfig = DEFAULT,
                 toks = tokenize_py(text or "")  # Java-\s-equivalent split
                 # --- simhash (token-level, batch-scoped hash cache) ---
                 sh = _simhash_of_tokens(toks, tok_cache) if toks else 0
-                # --- shingles + minhash from ONE digest per 5-gram:
-                # h32 = first 8 hex chars = (60-bit value) >> 28, so one
-                # int-parse serves both hash widths ---
+                if scheme == "tokmix" and toks:
+                    # per-token hashes are already in the simhash cache;
+                    # window mixes replace every per-shingle md5
+                    th = np.fromiter((tok_cache[t] for t in toks),
+                                     dtype=np.uint64, count=len(toks))
+                    s5 = _window_mix(th, k)
+                    sh60_arr = np.unique(s5 >> np.uint64(4))   # 60-bit ids
+                    h32_arr = np.unique(s5 >> np.uint64(32))   # minhash input
+                    vals = (a[:, None] * h32_arr[None, :] + b[:, None]) % p
+                    minsig = [int(v) for v in vals.min(axis=1)]
+                    a60 = _window_mix(th, K) >> np.uint64(4)
+                    anch_list = [int(v) for v in np.unique(
+                        a60[a60 % np.uint64(mod) == 0])]
+                    out["id"].append(rid)
+                    out["simhash"].append(sh)
+                    out["minhash"].append(minsig)
+                    out["shingles"].append([int(v) for v in sh60_arr])
+                    out["anchors"].append(anch_list)
+                    continue
+                # --- md5 scheme: shingles + minhash from ONE digest per
+                # 5-gram: h32 = first 8 hex chars = (60-bit value) >> 28,
+                # so one int-parse serves both hash widths ---
                 sh60: dict[int, None] = {}
                 h32s: dict[int, None] = {}
                 for g in shingles_py(toks, k):

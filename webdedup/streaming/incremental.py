@@ -86,10 +86,19 @@ def match_new_against_store(new_sigs: DataFrame, store: DataFrame | None,
 def incremental_dedup(spark: SparkSession, input_dir: str, work_dir: str,
                       checkpoint_dir: str, cfg: DedupConfig = DEFAULT,
                       scheme: str = "combo",
-                      max_files_per_trigger: int = 1, once: bool = True):
+                      max_files_per_trigger: int = 1, once: bool = True,
+                      target_rows_per_file: int = 4_000_000):
     """Run the incremental matcher over a page-drop directory stream.
 
     Returns the StreamingQuery; pair/store tables land under ``work_dir``.
+
+    File hygiene (VERDICT r3 #7): each micro-batch writes
+    ``ceil(rows / target_rows_per_file)`` files (capped at 64) instead of a
+    fixed ``repartition(1)`` — small batches still produce one file, a
+    backfill burst doesn't bottleneck on a single writer task.  Long
+    streams should additionally run ``compact_store`` periodically (the
+    parquet stand-in for Iceberg's ``rewriteDataFiles``) to fold the
+    per-batch partitions into the base partition.
     """
     store_path = os.path.join(work_dir, SIG_STORE)
     pairs_path = os.path.join(work_dir, PAIRS_TABLE)
@@ -121,13 +130,19 @@ def incremental_dedup(spark: SparkSession, input_dir: str, work_dir: str,
                      .withColumn("_rk", F.row_number().over(w))
                      .filter(F.col("_rk") == 1)
                      .select("id", "simhash"))
-        pairs = match_new_against_store(new_sigs, store, cfg, scheme)
+        def nfiles(n_rows: int) -> int:
+            return max(1, min(64, -(-n_rows // target_rows_per_file)))
+
+        pairs = match_new_against_store(new_sigs, store, cfg, scheme) \
+            .localCheckpoint(eager=True)  # count + write from one compute
         (pairs.withColumn("_batch_id", F.lit(batch_id))
-         .repartition(1).write.mode("overwrite")
+         .repartition(nfiles(pairs.count()))
+         .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("_batch_id").parquet(pairs_path))
         (new_sigs.withColumn("_batch_id", F.lit(batch_id))
-         .repartition(1).write.mode("overwrite")
+         .repartition(nfiles(new_sigs.count()))
+         .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("_batch_id").parquet(store_path))
 
@@ -136,3 +151,50 @@ def incremental_dedup(spark: SparkSession, input_dir: str, work_dir: str,
     if once:
         return writer.trigger(availableNow=True).start()
     return writer.trigger(processingTime="10 seconds").start()
+
+
+def compact_store(spark: SparkSession, work_dir: str, keep_last: int = 1,
+                  target_rows_per_file: int = 4_000_000) -> int:
+    """Fold finished per-batch signature partitions into the base partition
+    (``_batch_id=-1``), latest-signature-per-id, sized to
+    ``target_rows_per_file`` — the periodic maintenance step a long-running
+    stream needs (parquet stand-in for Iceberg ``rewriteDataFiles``).
+
+    Replay safety: only the in-flight micro-batch can be replayed (a store
+    write whose checkpoint commit failed), and that is always the NEWEST
+    partition — the ``keep_last`` newest batch partitions are never merged,
+    so a replayed batch still overwrites its own intact partition.  The
+    base id -1 sorts below every real batch id, so the readers'
+    latest-batch-wins window is unaffected.  Returns the number of batch
+    partitions merged (0 = nothing to do).
+    """
+    import shutil
+
+    from pyspark.sql import Window
+
+    store_path = os.path.join(work_dir, SIG_STORE)
+    if not os.path.isdir(store_path):
+        return 0
+    df = spark.read.parquet(store_path)
+    batch_ids = sorted(r["_batch_id"]
+                       for r in df.select("_batch_id").distinct().collect())
+    real = [b for b in batch_ids if b != -1]
+    merge_ids = real[:max(0, len(real) - keep_last)]
+    if not merge_ids:
+        return 0
+    w = Window.partitionBy("id").orderBy(F.desc("_batch_id"))
+    base = (df.filter(F.col("_batch_id").isin([-1] + merge_ids))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("id", "simhash")
+            .localCheckpoint(eager=True))  # detach from the files we rewrite
+    n = base.count()
+    files = max(1, min(64, -(-n // target_rows_per_file)))
+    (base.withColumn("_batch_id", F.lit(-1))
+     .repartition(files).write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch_id").parquet(store_path))
+    for b in merge_ids:
+        shutil.rmtree(os.path.join(store_path, f"_batch_id={b}"),
+                      ignore_errors=True)
+    return len(merge_ids)
