@@ -61,9 +61,13 @@ def _memo(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
     df = _MEMO.get(k)
     if df is None:
         # entries from previous sessions are unreachable (their checkpoint
-        # blocks died with the session) — drop them so the memo stays O(live)
+        # blocks died with the session) — drop them so the memo stays O(live);
+        # within one session, cap the table (multi-sf sweeps can otherwise
+        # pin checkpointed frames for sf_dirs no longer in use)
         for dead in [kk for kk in _MEMO if kk[0] != app]:
             del _MEMO[dead]
+        while len(_MEMO) >= 8:
+            del _MEMO[next(iter(_MEMO))]  # FIFO: oldest insertion first
         df = _MEMO[k] = build().localCheckpoint(eager=True)
     return df
 
