@@ -335,6 +335,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["topk_per_lang"] = _topk_lang
 
+    # --- windowed event-time aggregation (streaming/windows.py semantics,
+    # oracle-checked on the batch-equal path: window_dup_stats is the SAME
+    # operator the streaming monitor runs — batch/stream parity is pinned
+    # by tests/test_streaming.py — here keyed on the events table) ---
+    def _windowed_events(s: SparkSession, d: str) -> DataFrame:
+        from webdedup.streaming.windows import window_dup_stats
+        ev = tables.events(s, d).select(
+            F.col("ts").alias("warc_ts"),
+            F.col("event_type").alias("content_sha"))
+        return window_dup_stats(ev, window="1 hour", watermark="1 hour")
+
+    q["windowed_event_stats"] = _windowed_events
+
     # --- multimodal plumbing (binary payload -> decoded metadata) ---
     def _media(s: SparkSession, d: str) -> DataFrame:
         from webdedup.operators import multimodal
@@ -433,6 +446,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_stats": oracle_sql_mod.lang_stats(),
         "topk_per_lang": oracle_sql_mod.topk_per_lang(3),
         "media_meta": oracle_sql_mod.media_meta(),
+        "windowed_event_stats": oracle_sql_mod.windowed_event_stats(),
         "cosine_topk": oracle_sql_mod.cosine_topk(CFG.topk),
         "cosine_dup_pairs": oracle_sql_mod.cosine_pairs(0.3),
         "vector_signatures": oracle_sql_mod.vector_signatures(CFG),

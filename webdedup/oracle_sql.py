@@ -961,6 +961,24 @@ FROM sil, dbs, btw, within, dims
 """
 
 
+def windowed_event_stats() -> str:
+    """Twin of ``streaming.windows.window_dup_stats`` applied batch-side to
+    the events table (event_type as the content key): tumbling 1-hour
+    event-time windows, per-window volume/distinct/dup-rate.  Spark's
+    ``F.window`` and DuckDB's ``time_bucket`` both align hour buckets to
+    the epoch hour grid."""
+    return """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       count(*)::BIGINT AS n_pages,
+       count(DISTINCT event_type)::BIGINT AS n_distinct,
+       (count(*) - count(DISTINCT event_type))::BIGINT AS n_exact_dups,
+       round((count(*) - count(DISTINCT event_type))::DOUBLE / count(*), 6)
+         AS dup_rate
+FROM events GROUP BY 1
+"""
+
+
 def embedding_norms() -> str:
     """P4 L2 norm (benchmark_comparison.py:172 analog)."""
     return """

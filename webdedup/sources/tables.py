@@ -26,3 +26,9 @@ def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vec_id:bigint, embedding:array<float>, label:int"""
     return load_table(spark, sf_dir, "embeddings")
+
+
+def events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event_id:bigint, ts:timestamp, user_id:bigint, event_type:string,
+    value:double, props:string"""
+    return load_table(spark, sf_dir, "events")
