@@ -348,6 +348,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["windowed_event_stats"] = _windowed_events
 
+    # JSON sidecar-metadata extraction (webtext pipelines carry per-doc
+    # JSON props; JVM-side get_json_object, no UDF) + typed aggregation
+    def _event_props(s: SparkSession, d: str) -> DataFrame:
+        ev = tables.events(s, d)
+        k = F.get_json_object("props", "$.k").cast("long")
+        return (ev.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.round(F.avg("value"), 6).alias("avg_value"),
+                     F.round(F.avg(k), 6).alias("avg_k"),
+                     F.max(k).alias("max_k")))
+
+    q["event_props_stats"] = _event_props
+
     # --- multimodal plumbing (binary payload -> decoded metadata) ---
     def _media(s: SparkSession, d: str) -> DataFrame:
         from webdedup.operators import multimodal
@@ -447,6 +460,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_lang": oracle_sql_mod.topk_per_lang(3),
         "media_meta": oracle_sql_mod.media_meta(),
         "windowed_event_stats": oracle_sql_mod.windowed_event_stats(),
+        "event_props_stats": oracle_sql_mod.event_props_stats(),
         "cosine_topk": oracle_sql_mod.cosine_topk(CFG.topk),
         "cosine_dup_pairs": oracle_sql_mod.cosine_pairs(0.3),
         "vector_signatures": oracle_sql_mod.vector_signatures(CFG),

@@ -979,6 +979,19 @@ FROM events GROUP BY 1
 """
 
 
+def event_props_stats() -> str:
+    """Twin of the JSON sidecar-metadata projection: extract ``$.k`` from
+    the props JSON and aggregate per event type."""
+    return """
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       round(avg(value), 6) AS avg_value,
+       round(avg((props->>'k')::BIGINT), 6) AS avg_k,
+       max((props->>'k')::BIGINT) AS max_k
+FROM events GROUP BY 1
+"""
+
+
 def embedding_norms() -> str:
     """P4 L2 norm (benchmark_comparison.py:172 analog)."""
     return """
