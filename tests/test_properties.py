@@ -112,3 +112,45 @@ def test_tokenize_python_duckdb_parity_wild(t):
     con = duckdb.connect()
     got = con.sql(f"select {tokens_sql('?')}", params=[t]).fetchone()[0]
     assert got == tokenize_py(t)
+
+
+# tokmix window mix: identity on equal windows, sensitivity to order and
+# content — the properties the production hash scheme's dedup semantics
+# rest on (hash_scheme='tokmix', signatures._window_mix)
+_tok_hashes = st.lists(
+    st.integers(min_value=0, max_value=2**64 - 1), min_size=0, max_size=30)
+
+
+@given(_tok_hashes, st.integers(min_value=1, max_value=8))
+@settings(max_examples=100, deadline=None)
+def test_window_mix_shape_and_determinism(hs, k):
+    import numpy as np
+
+    from webdedup.functions.signatures import _window_mix
+    th = np.array(hs, dtype=np.uint64)
+    s1, s2 = _window_mix(th, k), _window_mix(th, k)
+    assert (s1 == s2).all()
+    n = len(hs)
+    expect = 0 if n == 0 else max(1, n - min(k, n) + 1)
+    assert len(s1) == expect  # one hash per shingle, shingles_py convention
+
+
+@given(_tok_hashes.filter(lambda h: len(h) >= 6))
+@settings(max_examples=60, deadline=None)
+def test_window_mix_equal_windows_equal_hashes(hs):
+    import numpy as np
+
+    from webdedup.functions.signatures import _window_mix
+    th = np.array(hs, dtype=np.uint64)
+    k = 5
+    s = _window_mix(th, k)
+    # equal token windows => equal hashes (dedup identity), position-wise
+    for i in range(len(s)):
+        for j in range(i + 1, len(s)):
+            if hs[i:i + k] == hs[j:j + k]:
+                assert s[i] == s[j]
+    # order sensitivity: reversing a non-palindromic window changes the hash
+    w = th[:k]
+    if list(w) != list(w[::-1]):
+        from webdedup.functions.signatures import _window_mix as wm
+        assert wm(w, k)[0] != wm(w[::-1].copy(), k)[0]
