@@ -372,6 +372,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_meta"] = _media
 
+    # frame sampling over the binary payload (video-style row explosion
+    # inside mapInPandas); frame shas/byte counts are DuckDB-twinned
+    def _media_frames(s: SparkSession, d: str) -> DataFrame:
+        from webdedup.operators import multimodal
+        media = _docs(s, d).select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "utf-8").alias("payload"))
+        return multimodal.frame_sample(media).select(
+            "media_id", "frame_idx", "n_frame_bytes", "frame_sha")
+
+    q["media_frames"] = _media_frames
+
     # --- embedding similarity ---
     q["cosine_topk"] = lambda s, d: similarity.cosine_topk(
         _emb(s, d), k=CFG.topk)
@@ -461,6 +473,7 @@ def oracle_sql() -> dict[str, str]:
         "media_meta": oracle_sql_mod.media_meta(),
         "windowed_event_stats": oracle_sql_mod.windowed_event_stats(),
         "event_props_stats": oracle_sql_mod.event_props_stats(),
+        "media_frames": oracle_sql_mod.media_frames(),
         "cosine_topk": oracle_sql_mod.cosine_topk(CFG.topk),
         "cosine_dup_pairs": oracle_sql_mod.cosine_pairs(0.3),
         "vector_signatures": oracle_sql_mod.vector_signatures(CFG),

@@ -74,6 +74,37 @@ def test_multimodal_decode_plumbing(spark):
     assert len(dups) == 1 and dups[0]["n_members"] == 2
 
 
+def test_multimodal_frame_sample_and_pooling(spark):
+    """Frame sampling: byte-exact chunking, stride selection, per-frame
+    fingerprints; pooling: mean-pool resize of the feature column."""
+    import hashlib
+
+    payload = bytes(range(256)) * 3 + b"tail"     # 772 bytes -> 4 frames
+    rows = [(1, payload), (2, b""), (3, b"x" * 100)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {(r["media_id"], r["frame_idx"]): r for r in
+           multimodal.frame_sample(df, frame_bytes=256, stride=2).collect()}
+    # media 1: frames 0..3, stride 2 keeps 0 and 2; media 2: none; 3: frame 0
+    assert set(got) == {(1, 0), (1, 2), (3, 0)}
+    assert got[(1, 0)]["n_frame_bytes"] == 256
+    chunk = payload[2 * 256:3 * 256]
+    assert got[(1, 2)]["frame_sha"] == hashlib.sha256(
+        chunk.hex().encode()).hexdigest()
+    assert got[(3, 0)]["n_frame_bytes"] == 100
+    assert len(got[(1, 0)]["frame_feature"]) == multimodal.FEATURE_DIM
+
+    meta = multimodal.decode_media(
+        df.withColumn("media_type", F.lit("image")), type_col="media_type")
+    pooled = {r["media_id"]: r["pooled"] for r in
+              multimodal.pool_features(meta, out_dim=4).collect()}
+    feats = {r["media_id"]: r["feature"] for r in meta.collect()}
+    for mid, p in pooled.items():
+        assert len(p) == 4
+        f = feats[mid]
+        exp = [sum(f[i * 4:(i + 1) * 4]) / 4 for i in range(4)]
+        assert all(abs(a - b) < 1e-6 for a, b in zip(p, exp))
+
+
 def test_corpus_distributed_equals_driver(spark):
     rows = corpus.corpus_rows(CFG.seed, 25)
     ddf = corpus.corpus_df(spark, CFG.seed, 25, with_labels=True)

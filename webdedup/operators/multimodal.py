@@ -90,6 +90,76 @@ def decode_media(df: DataFrame, id_col: str = "media_id",
     return df.mapInPandas(run, schema=MEDIA_META_SCHEMA)
 
 
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("n_frame_bytes", LongType()),
+    StructField("frame_sha", StringType()),
+    StructField("frame_feature", ArrayType(FloatType())),
+])
+
+
+def frame_sample(df: DataFrame, id_col: str = "media_id",
+                 payload_col: str = "payload",
+                 frame_bytes: int = 256, stride: int = 2) -> DataFrame:
+    """Video-style frame sampling over an opaque binary column: the payload
+    is cut into ``frame_bytes`` chunks and every ``stride``-th chunk is
+    emitted as one row (media_id, frame_idx, n_frame_bytes, frame_sha,
+    frame_feature).
+
+    This is the ROW-EXPLODING multimodal shape (one media row -> many frame
+    rows) done inside ``mapInPandas``: the explosion happens Arrow-batch by
+    Arrow-batch, so a 2-hour video never materializes all its frames in one
+    Python list-of-rows on one task — unlike an ``explode`` over a
+    collected frame array.  Frame "decode" shares ``_decode_stub`` (real
+    ffmpeg frame extraction slots into the same signature).  ``frame_sha``
+    is sha256 of the LOWERCASE HEX of the frame bytes — a collision-
+    resistant frame fingerprint chosen for engine portability (this
+    DuckDB build has no blob sha256/substring, but hex(blob) round-trips
+    exactly), the same move as the md5-derived h60 token hashes; byte
+    counts and shas are DuckDB-twinned (``media_frames`` oracle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for b in batches:
+            out = {k.name: [] for k in FRAME_SCHEMA}
+            for mid, payload in zip(b[id_col], b[payload_col]):
+                data = bytes(payload or b"")
+                n_frames = -(-len(data) // frame_bytes)
+                for i in range(0, n_frames, stride):
+                    chunk = data[i * frame_bytes:(i + 1) * frame_bytes]
+                    _, _, feat = _decode_stub(chunk)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["n_frame_bytes"].append(len(chunk))
+                    out["frame_sha"].append(
+                        hashlib.sha256(chunk.hex().encode()).hexdigest())
+                    out["frame_feature"].append(feat.tolist())
+            if out["media_id"]:  # an all-empty batch would infer a float64
+                yield pd.DataFrame(out)  # column Arrow can't cast to list
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=FRAME_SCHEMA)
+
+
+def pool_features(meta: DataFrame, feature_col: str = "feature",
+                  out_dim: int = 4, out_col: str = "pooled") -> DataFrame:
+    """Resize analog for feature vectors: mean-pool ``feature`` down to
+    ``out_dim`` groups — one vectorized Arrow-batched pandas UDF (a single
+    reshape+mean per batch), the same batch shape a real bilinear resize
+    or projection head would use."""
+    in_dim = FEATURE_DIM
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _pool(feats: pd.Series) -> pd.Series:
+        X = np.stack(feats.to_numpy()).astype(np.float32)
+        P = X.reshape(len(X), out_dim, in_dim // out_dim).mean(axis=2)
+        return pd.Series([r.tolist() for r in P])
+
+    return meta.withColumn(out_col, _pool(F.col(feature_col)))
+
+
 def media_exact_dups(meta: DataFrame) -> DataFrame:
     """Exact media dedup on payload hash — same A1 shape as text."""
     return (

@@ -992,6 +992,30 @@ FROM events GROUP BY 1
 """
 
 
+def media_frames(frame_bytes: int = 256, stride: int = 2) -> str:
+    """Twin of ``multimodal.frame_sample``: byte-slice frames of the UTF-8
+    payload, every ``stride``-th frame.  This DuckDB build has no blob
+    substring/sha256, so byte slicing happens on the hex encoding (2 chars
+    per byte) and the fingerprint is sha256 of the lowercase hex — exactly
+    what ``frame_sample`` computes."""
+    hb = 2 * frame_bytes
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, lower(hex(encode(text))) AS ph FROM documents
+),
+idx AS (
+  SELECT media_id, ph,
+         unnest(range(0, (length(ph) // 2 + {frame_bytes - 1}) // {frame_bytes})) AS frame_idx
+  FROM m
+)
+SELECT media_id,
+       frame_idx::BIGINT AS frame_idx,
+       (length(substring(ph, frame_idx * {hb} + 1, {hb})) // 2)::BIGINT AS n_frame_bytes,
+       sha256(substring(ph, frame_idx * {hb} + 1, {hb})) AS frame_sha
+FROM idx WHERE frame_idx % {stride} = 0
+"""
+
+
 def embedding_norms() -> str:
     """P4 L2 norm (benchmark_comparison.py:172 analog)."""
     return """
