@@ -46,7 +46,8 @@ def main() -> int:
                "doc_fingerprint", "simhash64", "minhash_sig", "shingle_stats",
                "content_hashes", "exact_dup_groups", "exact_dup_groups_planted",
                "source_labels", "lang_stats", "topk_per_lang", "media_meta",
-               "embedding_norms", "vector_signatures"}
+               "embedding_norms", "vector_signatures", "media_frames",
+               "windowed_event_stats", "event_props_stats"}
     args = sys.argv[2:]
     only = SCALARS if "--scalars" in args else {a for a in args
                                                 if not a.startswith("--")}
