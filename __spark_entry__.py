@@ -414,6 +414,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle-checked where a stochastic graph index never is
     q["ivf2_cosine_pairs"] = lambda s, d: similarity.ivf2_cosine_pairs(
         _emb(s, d), threshold=0.3, k1=8, k2=4, nprobe1=2, nprobe2=2)
+    # approximate top-k per query over the same two-level IVF index — the
+    # faiss index.search(xq, k) analog (faiss_search.py:41-45) that the
+    # exact cosine_topk and the pair queries did not cover (VERDICT r4 #3)
+    q["ann_topk"] = lambda s, d: similarity.ann_topk(
+        _emb(s, d), k=CFG.topk, k1=8, k2=4, nprobe1=2, nprobe2=2)
 
     # embedding cluster-quality scoring (clustering_metrics.py:5-40):
     # silhouette / Davies-Bouldin / Calinski-Harabasz over the labeled
@@ -484,6 +489,8 @@ def oracle_sql() -> dict[str, str]:
             0.3, k_centroids=16, nprobe=2),
         "ivf2_cosine_pairs": oracle_sql_mod.ivf2_cosine_pairs(
             0.3, k1=8, k2=4, nprobe1=2, nprobe2=2),
+        "ann_topk": oracle_sql_mod.ann_topk(
+            CFG.topk, k1=8, k2=4, nprobe1=2, nprobe2=2),
         "cluster_quality": oracle_sql_mod.cluster_quality(CFG.embedding_dim),
         "cluster_quality_sampled": oracle_sql_mod.cluster_quality(
             CFG.embedding_dim, sample_per_cluster=25),

@@ -4,6 +4,7 @@ determinism."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from webdedup.config import DEFAULT as CFG
@@ -190,6 +191,33 @@ def test_ivf2_recall_nprobe_sweep(spark):
     assert recalls[-1] == 1.0, "full coarse probe must cover every pair"
 
 
+def test_ann_topk_recall_sweep_and_full_probe_exact(spark):
+    """``ann_topk`` (the faiss ``index.search(xq, k)`` analog, VERDICT r4
+    #3): recall of the exact top-k pair set is monotone non-decreasing
+    along an increasing probe chain, and at the full probe
+    (nprobe1=k1, nprobe2=k2) the output frame EQUALS exact ``cosine_topk``
+    row-for-row — every cell probed means every neighbor is a candidate,
+    and the rank ordering (rounded cosine desc, id asc) is shared."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    k = 10
+    exact_rows = similarity.cosine_topk(emb, k=k).collect()
+    exact = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
+    assert len(exact_rows) == 500 * k
+    chain = [(1, 1), (2, 2), (4, 4), (8, 4)]
+    recalls = []
+    for np1, np2 in chain:
+        got_rows = similarity.ann_topk(
+            emb, k=k, k1=8, k2=4, nprobe1=np1, nprobe2=np2).collect()
+        got = {(r["query_id"], r["neighbor_id"]) for r in got_rows}
+        recalls.append(len(got & exact) / len(exact))
+    assert all(a <= b for a, b in zip(recalls, recalls[1:])), \
+        f"recall not monotone along the probe chain: {recalls}"
+    assert recalls[-1] == 1.0, f"full probe must recover exact top-k: {recalls}"
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(got_rows, key=key) == sorted(exact_rows, key=key), \
+        "full-probe ann_topk must equal cosine_topk row-for-row"
+
+
 def _numpy_cluster_quality(X, labels):
     """Independent closed-form implementation (sklearn formulas)."""
     n = len(X)
@@ -253,10 +281,14 @@ def test_cluster_quality_sampled_silhouette(spark):
     rows, X, labels = _rand_labeled_vecs(n=48, dim=6, k=4, seed=9)
     df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
 
-    # m >= every cluster size -> identical to exact (db/ch always exact)
+    # m >= every cluster size -> metrics identical to exact (db/ch always
+    # exact); only the silhouette_sampled provenance flag differs
     exact = cluster_quality(df).collect()[0]
     full = cluster_quality(df, silhouette_sample_per_cluster=48).collect()[0]
-    assert full == exact
+    metrics = ["silhouette", "davies_bouldin", "calinski_harabasz"]
+    assert [full[c] for c in metrics] == [exact[c] for c in metrics]
+    assert exact["silhouette_sampled"] is False
+    assert full["silhouette_sampled"] is True
 
     # m=5: silhouette == numpy silhouette over the deterministic
     # smallest-md5(id) per-cluster subset; db/ch untouched
@@ -284,11 +316,15 @@ def test_cluster_quality_auto_sample_guard(spark):
     rows, _, _ = _rand_labeled_vecs(n=48, dim=6, k=4, seed=11)
     df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
     # guard trips (threshold below row count): identical to the explicit
-    # sampled call with the auto sample size
-    guarded = cluster_quality(
-        df, silhouette_exact_max_rows=10, silhouette_auto_sample=5).collect()[0]
+    # sampled call with the auto sample size, and it WARNS (ADVICE r4) so
+    # the semantic switch is not silent
+    with pytest.warns(UserWarning, match="silhouette auto-switched"):
+        guarded = cluster_quality(
+            df, silhouette_exact_max_rows=10,
+            silhouette_auto_sample=5).collect()[0]
     sampled = cluster_quality(df, silhouette_sample_per_cluster=5).collect()[0]
     assert guarded == sampled
+    assert guarded["silhouette_sampled"] is True
     # guard idle (default threshold far above): exact result unchanged, and
     # an explicit opt-out produces the same
     exact = cluster_quality(df).collect()[0]

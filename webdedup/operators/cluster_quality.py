@@ -53,15 +53,30 @@ def cluster_quality(df: DataFrame, id_col: str = "vec_id",
     an n² cross join — a naive caller on a 10⁶-row table gets the bounded
     deterministic estimate, not an accidental 10¹²-row stage.  Pass
     ``silhouette_exact_max_rows=None`` to force exact at any size (the
-    cost is then on the caller, explicitly).  The guard costs one count()
-    of the input and engages only above the threshold, so oracle-checked
-    small-table calls are byte-identical to before.
+    cost is then on the caller, explicitly).  The guard costs one
+    ``limit(threshold+1).count()`` probe (stops scanning at the bound)
+    and engages only above the threshold, so oracle-checked small-table
+    calls are value-identical to before.  The output row always carries
+    ``silhouette_sampled`` (true when the sampled path ran — explicitly
+    or via the guard, which also emits a ``UserWarning``) so consumers
+    can tell estimate from exact.
     """
     if (silhouette_sample_per_cluster is None
             and silhouette_exact_max_rows is not None):
-        n_rows = df.count()
-        if n_rows > silhouette_exact_max_rows:
+        # cheap bound: scan stops once threshold+1 rows are seen, instead of
+        # a full count() of the input on every default-path call
+        over = df.limit(silhouette_exact_max_rows + 1).count()
+        if over > silhouette_exact_max_rows:
+            import warnings
+            warnings.warn(
+                f"cluster_quality: input exceeds {silhouette_exact_max_rows}"
+                f" rows; silhouette auto-switched to the deterministic"
+                f" sampled estimate ({silhouette_auto_sample}/cluster)."
+                f" Output row carries silhouette_sampled=true; pass"
+                f" silhouette_exact_max_rows=None to force exact.",
+                stacklevel=2)
             silhouette_sample_per_cluster = silhouette_auto_sample
+    sil_sampled = silhouette_sample_per_cluster is not None
     v = df.select(
         F.col(id_col).alias("id"), F.col(label_col).alias("lbl"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"))
@@ -141,4 +156,5 @@ def cluster_quality(df: DataFrame, id_col: str = "vec_id",
                   / (F.col("w") / (F.col("n") - F.col("kk"))), 6)
                   .alias("calinski_harabasz")))
 
-    return sil_row.crossJoin(db_row).crossJoin(ch_row)
+    return (sil_row.crossJoin(db_row).crossJoin(ch_row)
+            .withColumn("silhouette_sampled", F.lit(sil_sampled)))

@@ -71,19 +71,18 @@ def decode_media(df: DataFrame, id_col: str = "media_id",
         import hashlib
 
         for b in batches:
-            out = []
-            for _, row in b.iterrows():
-                payload = row[payload_col] or b""
-                w, h, feat = _decode_stub(bytes(payload))
-                out.append({
-                    "media_id": row[id_col],
-                    "media_type": row[type_col] if type_col else "image",
-                    "n_bytes": len(payload),
-                    "payload_sha": hashlib.sha256(bytes(payload)).hexdigest(),
-                    "width": w,
-                    "height": h,
-                    "feature": feat.tolist(),
-                })
+            out = {f.name: [] for f in MEDIA_META_SCHEMA}
+            types = b[type_col] if type_col else ("image" for _ in b.index)
+            for mid, payload, mtype in zip(b[id_col], b[payload_col], types):
+                data = bytes(payload or b"")
+                w, h, feat = _decode_stub(data)
+                out["media_id"].append(mid)
+                out["media_type"].append(mtype)
+                out["n_bytes"].append(len(data))
+                out["payload_sha"].append(hashlib.sha256(data).hexdigest())
+                out["width"].append(w)
+                out["height"].append(h)
+                out["feature"].append(feat.tolist())
             yield pd.DataFrame(out, columns=[f.name for f in MEDIA_META_SCHEMA])
 
     _ = cols
@@ -150,9 +149,15 @@ def pool_features(meta: DataFrame, feature_col: str = "feature",
     reshape+mean per batch), the same batch shape a real bilinear resize
     or projection head would use."""
     in_dim = FEATURE_DIM
+    if in_dim % out_dim != 0:
+        raise ValueError(
+            f"out_dim={out_dim} must divide FEATURE_DIM={in_dim} "
+            "(mean-pooling groups must be equal-sized)")
 
     @F.pandas_udf(ArrayType(FloatType()))
     def _pool(feats: pd.Series) -> pd.Series:
+        if len(feats) == 0:  # scalar pandas UDFs can receive empty batches
+            return pd.Series([], dtype=object)
         X = np.stack(feats.to_numpy()).astype(np.float32)
         P = X.reshape(len(X), out_dim, in_dim // out_dim).mean(axis=2)
         return pd.Series([r.tolist() for r in P])

@@ -759,6 +759,73 @@ WHERE round(list_sum(list_transform(range(len(x.vec)), i -> x.vec[i+1] * y.vec[i
 """
 
 
+def ann_topk(k: int = 10, k1: int = 8, k2: int = 4,
+             nprobe1: int = 2, nprobe2: int = 2) -> str:
+    """Twin of ``similarity.ann_topk``: two-level-IVF candidates (same CTEs
+    as the ``ivf2_cosine_pairs`` twin), DIRECTIONAL (query probes, neighbor
+    stores — no least/greatest), then per-query exact-cosine rank
+    ``row_number() <= k`` over (rounded cosine desc, neighbor_id asc)."""
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS vec
+  FROM embeddings
+),
+cents1 AS (
+  SELECT id AS cid, vec AS cvec FROM v
+  ORDER BY md5(id::VARCHAR), id LIMIT {k1}
+),
+a1 AS (
+  SELECT * FROM (
+    SELECT id, vec, cid,
+           row_number() OVER (PARTITION BY id ORDER BY d2 ASC, cid ASC) AS rank
+    FROM (
+      SELECT v.id, v.vec, c.cid,
+             round(list_sum(list_transform(range(len(v.vec)),
+                   i -> (v.vec[i+1] - c.cvec[i+1]) * (v.vec[i+1] - c.cvec[i+1]))), 6) AS d2
+      FROM v CROSS JOIN cents1 c))
+  WHERE rank <= {nprobe1}
+),
+cents2 AS (
+  SELECT cid, id AS cid2, vec AS cvec2 FROM (
+    SELECT cid, id, vec,
+           row_number() OVER (PARTITION BY cid ORDER BY md5(id::VARCHAR), id) AS pk
+    FROM a1 WHERE rank = 1)
+  WHERE pk <= {k2}
+),
+assign2 AS (
+  SELECT id, rank, cid, cid2,
+         row_number() OVER (PARTITION BY id, cid ORDER BY d22 ASC, cid2 ASC) AS rk2
+  FROM (
+    SELECT a.id, a.rank, c.cid, c.cid2,
+           round(list_sum(list_transform(range(len(a.vec)),
+                 i -> (a.vec[i+1] - c.cvec2[i+1]) * (a.vec[i+1] - c.cvec2[i+1]))), 6) AS d22
+    FROM a1 a JOIN cents2 c ON a.cid = c.cid)
+),
+cand AS (
+  SELECT DISTINCT p.id AS query_id, s.id AS neighbor_id
+  FROM (SELECT id, cid, cid2 FROM assign2 WHERE rk2 <= {nprobe2}) p
+  JOIN (SELECT id, cid, cid2 FROM assign2 WHERE rank = 1 AND rk2 = 1) s
+    ON p.cid = s.cid AND p.cid2 = s.cid2
+  WHERE p.id <> s.id
+),
+n AS (
+  SELECT id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm FROM v
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_sum(list_transform(range(len(x.vec)),
+               i -> x.vec[i+1] * y.vec[i+1])) / (x.nrm * y.nrm), 6) AS cosine
+  FROM cand c JOIN n x ON x.id = c.query_id JOIN n y ON y.id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
+
+
 def _blocks_sql_unsigned() -> str:
     """HUGEINT-based unsigned view of the signed 64-bit simhash, for block
     extraction that matches Spark's shiftrightunsigned semantics."""
@@ -956,7 +1023,8 @@ dims AS (SELECT count(*) AS n, count(DISTINCT lbl) AS kk FROM v)
 SELECT round(sil.s, 6) AS silhouette,
        round(dbs.db, 6) AS davies_bouldin,
        round((btw.b / (dims.kk - 1)) / (within.w / (dims.n - dims.kk)), 6)
-         AS calinski_harabasz
+         AS calinski_harabasz,
+       {str(sample_per_cluster is not None).upper()} AS silhouette_sampled
 FROM sil, dbs, btw, within, dims
 """
 
@@ -986,8 +1054,8 @@ def event_props_stats() -> str:
 SELECT event_type,
        count(*)::BIGINT AS n_events,
        round(avg(value), 6) AS avg_value,
-       round(avg((props->>'k')::BIGINT), 6) AS avg_k,
-       max((props->>'k')::BIGINT) AS max_k
+       round(avg(TRY_CAST(props->>'k' AS BIGINT)), 6) AS avg_k,
+       max(TRY_CAST(props->>'k' AS BIGINT)) AS max_k
 FROM events GROUP BY 1
 """
 

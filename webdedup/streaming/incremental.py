@@ -154,7 +154,8 @@ def incremental_dedup(spark: SparkSession, input_dir: str, work_dir: str,
 
 
 def compact_store(spark: SparkSession, work_dir: str, keep_last: int = 1,
-                  target_rows_per_file: int = 4_000_000) -> int:
+                  target_rows_per_file: int = 4_000_000,
+                  force: bool = False) -> int:
     """Fold finished per-batch signature partitions into the base partition
     (``_batch_id=-1``), latest-signature-per-id, sized to
     ``target_rows_per_file`` — the periodic maintenance step a long-running
@@ -167,11 +168,30 @@ def compact_store(spark: SparkSession, work_dir: str, keep_last: int = 1,
     base id -1 sorts below every real batch id, so the readers'
     latest-batch-wins window is unaffected.  Returns the number of batch
     partitions merged (0 = nothing to do).
+
+    CONCURRENCY (not replay) safety: the micro-batch's store read
+    (``spark.read.parquet`` in ``process``) lists parquet files lazily and
+    scans them later in the same batch — a compaction that deletes merged
+    ``_batch_id=`` dirs in that window makes the scan fail with
+    FileNotFoundException (or silently drop store signatures under
+    ``spark.sql.files.ignoreMissingFiles``).  So this function REFUSES to
+    run while any StreamingQuery is active on this session; run it between
+    triggers from the driver thread (e.g. between ``availableNow`` runs),
+    or while the stream is stopped.  ``force=True`` bypasses the check for
+    callers that coordinate externally — e.g. a second driver, where this
+    session-local probe cannot see the reader and an Iceberg snapshot
+    commit (which never deletes files a live scan holds) is the real fix.
     """
     import shutil
 
     from pyspark.sql import Window
 
+    if not force and spark.streams.active:
+        names = [q.name or q.id for q in spark.streams.active]
+        raise RuntimeError(
+            f"compact_store: refusing to rewrite the signature store while "
+            f"streaming queries are active ({names}); stop the stream or "
+            f"run between availableNow triggers (force=True to override)")
     store_path = os.path.join(work_dir, SIG_STORE)
     if not os.path.isdir(store_path):
         return 0
