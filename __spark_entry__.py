@@ -348,6 +348,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["windowed_event_stats"] = _windowed_events
 
+    # sliding-window freshness monitor (1 h window / 15 min slide): the
+    # production shape of the dup-rate monitor — three chained time-window
+    # aggregations, batch/stream parity pinned in tests/test_streaming.py
+    def _sliding_events(s: SparkSession, d: str) -> DataFrame:
+        from webdedup.streaming.windows import sliding_window_dup_stats
+        ev = tables.events(s, d).select(
+            F.col("ts").alias("warc_ts"),
+            F.col("event_type").alias("content_sha"))
+        return sliding_window_dup_stats(
+            ev, window="1 hour", slide="15 minutes", watermark="1 hour")
+
+    q["sliding_window_event_stats"] = _sliding_events
+
     # JSON sidecar-metadata extraction (webtext pipelines carry per-doc
     # JSON props; JVM-side get_json_object, no UDF) + typed aggregation
     def _event_props(s: SparkSession, d: str) -> DataFrame:
@@ -477,6 +490,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_lang": oracle_sql_mod.topk_per_lang(3),
         "media_meta": oracle_sql_mod.media_meta(),
         "windowed_event_stats": oracle_sql_mod.windowed_event_stats(),
+        "sliding_window_event_stats":
+            oracle_sql_mod.sliding_window_event_stats(60, 15),
         "event_props_stats": oracle_sql_mod.event_props_stats(),
         "media_frames": oracle_sql_mod.media_frames(),
         "cosine_topk": oracle_sql_mod.cosine_topk(CFG.topk),

@@ -267,3 +267,58 @@ def test_windowed_dup_stats_batch_parity(spark, stream_dirs):
     for r in spark.read.parquet(stream_dirs["out"]).collect():
         assert r["n_pages"] >= r["n_distinct"]
         assert r["n_exact_dups"] == r["n_pages"] - r["n_distinct"]
+
+
+def test_sliding_window_dup_stats_batch_parity(spark, stream_dirs):
+    """Sliding-window freshness monitor (three chained window aggs): the
+    streamed output must equal the batch run of the SAME operator for every
+    closed window, each event must appear in window/slide windows, and the
+    tumbling monitor must agree wherever their windows coincide."""
+    import datetime as dt
+
+    from webdedup.streaming import windows as win
+
+    rows = corpus.corpus_rows(42, 20)
+    df = spark.createDataFrame(rows, schema=corpus.PAGE_KIND_SCHEMA) \
+        .select("url", "warc_ts", "html", "text", "lang")
+    sentinel_ts = max(r["warc_ts"] for r in rows) + dt.timedelta(hours=6)
+    sent = spark.createDataFrame(
+        [{**rows[0], "url": "sentinel://flush", "warc_ts": sentinel_ts}],
+        schema=corpus.PAGE_KIND_SCHEMA).select(
+        "url", "warc_ts", "html", "text", "lang")
+    df.unionByName(sent).coalesce(2).write.mode("overwrite") \
+        .parquet(stream_dirs["in"])
+
+    stream = ingest.enrich_stream(
+        ingest.read_page_stream(spark, stream_dirs["in"],
+                                max_files_per_trigger=1))
+    q = win.write_window_stats_stream(
+        win.sliding_window_dup_stats(stream, window="4 minutes",
+                                     slide="1 minute",
+                                     watermark="2 minutes"),
+        stream_dirs["out"], stream_dirs["ckpt"], once=True)
+    q.awaitTermination(180)
+
+    got = {tuple(r) for r in spark.read.parquet(stream_dirs["out"]).collect()}
+
+    batch = ingest.enrich_stream(spark.read.parquet(stream_dirs["in"]))
+    expected_rows = win.sliding_window_dup_stats(
+        batch, window="4 minutes", slide="1 minute", watermark="2 minutes") \
+        .filter(F.col("window_end") <= sentinel_ts).collect()
+    expected = {tuple(r) for r in expected_rows}
+    assert got == expected and len(got) >= 4
+    # every event lands in window/slide = 4 windows: total page-slots in
+    # the sliding stats are exactly 4x the event count (sentinel excluded)
+    n_events = batch.filter(F.col("warc_ts") < sentinel_ts).count()
+    assert sum(r["n_pages"] for r in expected_rows) == 4 * n_events
+    # slide == window degenerates to the tumbling monitor exactly
+    tumb = {tuple(r) for r in win.window_dup_stats(
+        batch, window="4 minutes", watermark="2 minutes")
+        .filter(F.col("window_end") <= sentinel_ts).collect()}
+    degen = {tuple(r) for r in win.sliding_window_dup_stats(
+        batch, window="4 minutes", slide="4 minutes", watermark="2 minutes")
+        .filter(F.col("window_end") <= sentinel_ts).collect()}
+    assert degen == tumb
+    for r in expected_rows:
+        assert r["n_pages"] >= r["n_distinct"] >= 1
+        assert r["n_exact_dups"] == r["n_pages"] - r["n_distinct"]

@@ -6,10 +6,19 @@ and order-insensitive value equality (sorted rows, stringified).
 
 Usage:  python tools/check_oracles.py [sf_dir] [query ...]
         python tools/check_oracles.py /root/testdata/sf0.1 --scalars
+        python tools/check_oracles.py /root/testdata/sf0.1 --pairs
 
 ``--scalars`` expands to the per-doc scalar/text queries that are
 DuckDB-feasible at 45k docs (sf0.1): richer real text exercises regex/
 whitespace edge cases the 500-doc fixtures cannot (VERDICT r3 #6).
+
+``--pairs`` expands to the pair/cluster/eval twins (VERDICT r4 #1) —
+the matcher surface whose driver checks run at 500 docs only — at
+sf0.1's 5k real-text document table (8 natural dup groups), where the
+recursive-CTE connected-components twin is still DuckDB-feasible.  In
+this mode a query that returns ZERO Spark rows FAILS even if the oracle
+agrees: the point is verifying pair semantics on real collisions, and
+0 == 0 would be vacuous.
 """
 
 from __future__ import annotations
@@ -48,9 +57,19 @@ def main() -> int:
                "source_labels", "lang_stats", "topk_per_lang", "media_meta",
                "embedding_norms", "vector_signatures", "media_frames",
                "windowed_event_stats", "event_props_stats"}
+    PAIRS = {"simhash_pairs", "simhash_pairs_combo", "jaccard_pairs",
+             "minhash_lsh_pairs", "minhash_est_jaccard", "substring_pairs",
+             "cluster_assignments", "representatives", "duplicate_sets",
+             "pipeline_eval", "matcher_agreement"}
     args = sys.argv[2:]
-    only = SCALARS if "--scalars" in args else {a for a in args
-                                                if not a.startswith("--")}
+    require_rows = False
+    if "--scalars" in args:
+        only = SCALARS
+    elif "--pairs" in args:
+        only = PAIRS
+        require_rows = True
+    else:
+        only = {a for a in args if not a.startswith("--")}
     spark = get_spark(cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -80,6 +99,9 @@ def main() -> int:
         ok_cols = sorted(scols) == sorted(ocols)
         a, b = norm_rows(scols, srows), norm_rows(ocols, orows)
         ok_rows = a == b
+        if require_rows and len(srows) == 0:
+            ok_rows = False
+            print(f"{name:24s} VACUOUS: 0 spark rows in --pairs mode")
         status = "OK" if (ok_cols and ok_rows) else "MISMATCH"
         print(f"{name:24s} {status}  spark={len(srows)} duck={len(orows)} "
               f"cols={'OK' if ok_cols else (scols, ocols)}")

@@ -1047,6 +1047,34 @@ FROM events GROUP BY 1
 """
 
 
+def sliding_window_event_stats(window_minutes: int = 60,
+                               slide_minutes: int = 15) -> str:
+    """Twin of ``streaming.windows.sliding_window_dup_stats`` batch-side on
+    the events table.  A sliding window with slide s containing event t has
+    start = t's s-bucket minus j·s for j in 0..window/s-1 (Spark's sliding
+    assignment, epoch-aligned) — containment holds by construction, so the
+    twin is a generated slide-offset fan-out, then the same per-window
+    distinct aggregation."""
+    n_slides = window_minutes // slide_minutes
+    assert n_slides * slide_minutes == window_minutes
+    return f"""
+WITH fan AS (
+  SELECT time_bucket(INTERVAL '{slide_minutes} minutes', ts)
+           - (j.j * INTERVAL '{slide_minutes} minutes') AS window_start,
+         event_type
+  FROM events, (SELECT unnest(range({n_slides})) AS j) j
+)
+SELECT window_start,
+       window_start + INTERVAL '{window_minutes} minutes' AS window_end,
+       count(*)::BIGINT AS n_pages,
+       count(DISTINCT event_type)::BIGINT AS n_distinct,
+       (count(*) - count(DISTINCT event_type))::BIGINT AS n_exact_dups,
+       round((count(*) - count(DISTINCT event_type))::DOUBLE / count(*), 6)
+         AS dup_rate
+FROM fan GROUP BY 1
+"""
+
+
 def event_props_stats() -> str:
     """Twin of the JSON sidecar-metadata projection: extract ``$.k`` from
     the props JSON and aggregate per event type."""

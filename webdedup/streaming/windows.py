@@ -62,6 +62,74 @@ def window_dup_stats(enriched: DataFrame, window: str = "1 hour",
     )
 
 
+def sliding_window_dup_stats(enriched: DataFrame, window: str = "1 hour",
+                             slide: str = "15 minutes",
+                             watermark: str = "2 hours") -> DataFrame:
+    """Sliding-window variant of ``window_dup_stats``: (window_start,
+    window_end, n_pages, n_distinct, n_exact_dups, dup_rate) per
+    ``window``-long window advancing every ``slide`` — what a production
+    freshness monitor actually runs (a 1 h dup-rate refreshed every 15 min,
+    not once per hour).  ``slide`` must divide ``window``.
+
+    Streaming distinct-per-sliding-window needs THREE chained time-window
+    aggregations (each an ordinary hash agg, state evicted by the shared
+    watermark):
+
+    1. (tumbling ``slide`` bucket, content_sha) -> copy count: the dedup
+       grain.  Tumbling-first keeps level-1 state at one row per distinct
+       hash per slide, instead of ``window/slide`` copies of it;
+    2. re-window ``window_time`` into the SLIDING spec, still keyed by
+       content_sha: each (bucket, hash) row fans out to the
+       ``window/slide`` containing windows, and the groupBy collapses a
+       hash seen in several buckets of one window — rows here are
+       (sliding window, distinct hash);
+    3. a final per-window rollup.  A sliding ``window_time`` cannot be
+       re-windowed (it would fan out again), but every sliding window's
+       representative time (``end`` - 1µs) falls in its OWN last
+       ``slide``-sized tumbling bucket, so grouping by that bucket plus
+       the window struct is exact — one group per sliding window, with
+       the event-time key streaming needs for eviction.
+
+    Each page contributes to ``window/slide`` windows by design (that is
+    what sliding means); dup_rate within a window counts every arrival.
+    Works identically on a batch frame — the parity test pins it.
+    """
+    per_hash = (
+        enriched.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", slide).alias("w1"), "content_sha")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+    )
+    per_window_hash = (
+        per_hash
+        .groupBy(F.window(F.window_time("w1"), window, slide).alias("w2"),
+                 "content_sha")
+        .agg(F.sum("n_copies").alias("n_copies"))
+    )
+    return (
+        per_window_hash
+        # w2's FIELDS as plain grouping keys: the tagged w2 struct itself
+        # next to the new window would leave two event-time columns in one
+        # stream ("More than one event time columns"); field extraction
+        # strips the tag, and the w3 bucket<->w2 window 1:1 map keeps the
+        # grouping exact
+        .groupBy(F.window(F.window_time("w2"), slide).alias("w3"),
+                 F.col("w2.start").alias("window_start"),
+                 F.col("w2.end").alias("window_end"))
+        .agg(
+            F.sum("n_copies").alias("n_pages"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            (F.sum("n_copies") - F.count(F.lit(1))).alias("n_exact_dups"),
+        )
+        .select(
+            "window_start", "window_end",
+            "n_pages", "n_distinct", "n_exact_dups",
+            F.round(
+                (F.col("n_pages") - F.col("n_distinct"))
+                / F.col("n_pages"), 6).alias("dup_rate"),
+        )
+    )
+
+
 def write_window_stats_stream(stats: DataFrame, out_dir: str,
                               checkpoint_dir: str, once: bool = True):
     """Append sink: each window row is emitted once, when the watermark
