@@ -7,12 +7,25 @@ run's at the same core count, evidencing that recorded small-corpus numbers
 are floor-bound, not throughput-bound.  Results land in BENCH.md.
 
 Usage:  python tools/bench_scaleup.py [cores] [corpus_dir] [--production]
+                                      [--recall]
 Prints one JSON line: {"docs": N, "cores": C, "total_sec": T,
 "docs_per_sec": R, "stages": {...}}.
 
 ``--production`` runs the documented production dials — hash_scheme=
 'tokmix' + minhash_fast_accept='auto' — instead of the oracle-exact
 defaults; the mode is recorded in the JSON.
+
+``--recall`` (VERDICT r4 #2) additionally scores planted dup-pair recall:
+the bench corpus is ``corpus_df(seed=42, ...)`` whose groups plant
+base/exact/simhash/minhash/substring variants, so ground truth is every
+intra-group pair over non-singleton members — regenerated DISTRIBUTED
+with ``with_labels=True`` (the driver-side ``golden_pairs`` would take
+~6 min at 55k groups), keyed by url, and checked to cover the corpus
+exactly.  Recall = fraction of planted pairs whose members land in the
+same predicted cluster (cluster co-membership — transitively closed, as
+the north rule's "matching cluster assignments" asks).  Scored AFTER the
+timed window so throughput numbers are undistorted; the north-rule gate
+is recall >= 0.99 per config.
 """
 
 from __future__ import annotations
@@ -66,6 +79,42 @@ def main() -> None:
             "stages": {k: round(v, 2) for k, v in res.stage_seconds.items()},
             "stage_rows": dict(res.stage_rows),
         }
+        if "--recall" in sys.argv:
+            from pyspark.sql import functions as F
+
+            from webdedup.operators.evaluate import (
+                metrics_frame, cluster_pairs,
+            )
+            from webdedup.sources.corpus import corpus_df
+
+            t1 = time.time()
+            n_groups = int(pages.select(F.max(
+                F.regexp_extract("url", r"g(\d+)/", 1).cast("long"))
+            ).first()[0]) + 1
+            labeled = corpus_df(spark, 42, n_groups, with_labels=True,
+                                partitions=max(cores * 4, 16)) \
+                .select("url", "group_id", "kind") \
+                .localCheckpoint(eager=True)
+            # the regenerated labels must cover the bench corpus exactly —
+            # a seed/group mismatch would silently score garbage
+            n_lab = labeled.count()
+            assert n_lab == n_docs, (n_lab, n_docs)
+            members = labeled.filter(F.col("kind") != "singleton")
+            truth = (members.select("group_id", F.col("url").alias("a"))
+                     .join(members.select("group_id",
+                                          F.col("url").alias("b")),
+                           "group_id")
+                     .filter(F.col("a") < F.col("b")).select("a", "b"))
+            pred = cluster_pairs(
+                res.assignments.select("cluster_id", "id"))
+            m = metrics_frame(pred, truth).first()
+            out["planted"] = {
+                "n_groups": n_groups,
+                "truth_pairs": m["tp"] + m["fn"],
+                "recall": float(m["recall"]),
+                "precision_vs_planted": float(m["precision"]),
+                "eval_sec": round(time.time() - t1, 1),
+            }
         print(json.dumps(out))
     finally:
         shutil.rmtree(work, ignore_errors=True)
