@@ -95,6 +95,7 @@ def minhash_edges(df: DataFrame | None, id_col: str = "doc_id",
                   skew_mode: str = "salt",
                   est_prefilter: float | None = None,
                   fast_accept: float | None = None,
+                  collapse_identical: bool = False,
                   ) -> tuple[DataFrame, DataFrame]:
     """(pairs, overflow_quarantine): banded LSH candidates verified by EXACT
     shingle Jaccard >= threshold — the MinHash twin of ``simhash_edges``.
@@ -133,12 +134,38 @@ def minhash_edges(df: DataFrame | None, id_col: str = "doc_id",
     ``sigs``/``sets``: optional materialized signature / shingle-set tables
     (stage tables in the pipeline) — without them the whole signature UDF
     subtree is embedded in a self-join plan and executes once per join arm.
+
+    ``collapse_identical``: pre-collapse documents with IDENTICAL shingle
+    sets into one representative before banding (VERDICT r4 #4: exact
+    duplicates re-band and re-verify as full cliques today — a boilerplate
+    page cloned m times costs C(m,2) verifies).  Lossless by construction:
+    identical sets imply identical signatures (banding behavior preserved)
+    and identical Jaccard against everything, so the rep-level pair set is
+    expanded back member-by-member with the rep pair's value, and
+    intra-class pairs are emitted directly with their exact Jaccard 1.0
+    (in fast-accept mode: est 1.0, the same accept branch the uncollapsed
+    path takes).  Class key = two independent 64-bit hashes of the sorted
+    shingle array (collision odds ~2^-128·n² — far below the md5-derived
+    shingle hashing the operator is already built on).  Output is
+    BIT-IDENTICAL to ``collapse_identical=False`` (pytest-pinned both
+    modes); only the work changes.  Unsupported with ``skew_mode='cap'``
+    (overflow quarantine counts are per-document semantics).  Empty
+    shingle sets are excluded from the intra-class shortcut: their pairwise
+    Jaccard is 0/0 -> NULL and the uncollapsed verify drops them.
     """
     t = cfg.minhash_threshold if threshold is None else threshold
     if sigs is None:
         # lazy checkpoint: signature UDF would otherwise run once per join arm
         sigs = minhash_signatures(df, id_col, text_col, cfg).localCheckpoint(
             eager=False)
+    if collapse_identical:
+        if skew_mode == "cap":
+            raise ValueError(
+                "collapse_identical is lossless only for the lossless skew "
+                "modes; 'cap' quarantine counts are per-document")
+        return _collapsed_minhash_edges(
+            df, id_col, text_col, cfg, t, sigs, sets, skew_mode,
+            est_prefilter, fast_accept)
     bands = minhash_bands(sigs, cfg)
     overflow = bands.limit(0)
     if skew_mode == "salt":
@@ -175,13 +202,75 @@ def minhash_edges(df: DataFrame | None, id_col: str = "doc_id",
     return pairs, overflow
 
 
+def _collapsed_minhash_edges(df: DataFrame | None, id_col: str,
+                             text_col: str, cfg: DedupConfig, t: float,
+                             sigs: DataFrame, sets: DataFrame | None,
+                             skew_mode: str | None,
+                             est_prefilter: float | None,
+                             fast_accept: float | None,
+                             ) -> tuple[DataFrame, DataFrame]:
+    """``minhash_edges(collapse_identical=True)`` body — see its docstring.
+
+    Shape: class key per doc -> min-id representative -> the ORDINARY
+    rep-level pipeline (bands/salt/est/verify, recursion with the flag
+    off) -> member expansion joins + the intra-class 1.0 clique.  All
+    extra joins move narrow (id, rep) longs; the heavy columns (128-long
+    signatures, shingle arrays) now flow for representatives only.
+    """
+    from pyspark.sql import Window
+
+    from webdedup.operators.jaccard import shingle_sets
+
+    if sets is None:
+        sets = shingle_sets(df, id_col, text_col, cfg).localCheckpoint(
+            eager=False)
+    srt = F.array_sort("shingles")
+    w_cls = Window.partitionBy("_k1", "_k2")
+    members = (
+        sets.select("id", F.xxhash64(srt).alias("_k1"),
+                    F.xxhash64(F.lit(97), srt).alias("_k2"),
+                    (F.size("shingles") > 0).alias("_nonempty"))
+        .withColumn("rep", F.min("id").over(w_cls))
+        .select("id", "rep", "_nonempty")
+        .localCheckpoint(eager=False)  # rep filter + two expansion arms
+    )
+    reps_ids = members.filter(F.col("id") == F.col("rep")).select("id")
+    rep_pairs, overflow = minhash_edges(
+        df, id_col, text_col, cfg, t,
+        sigs=sigs.join(reps_ids, "id", "left_semi"),
+        sets=sets.join(reps_ids, "id", "left_semi"),
+        skew_mode=skew_mode, est_prefilter=est_prefilter,
+        fast_accept=fast_accept, collapse_identical=False)
+
+    value_cols = [c for c in rep_pairs.columns if c not in ("a", "b")]
+    ma = members.select(F.col("rep").alias("a"), F.col("id").alias("na"))
+    mb = members.select(F.col("rep").alias("b"), F.col("id").alias("nb"))
+    cross = (rep_pairs.join(ma, "a").join(mb, "b")
+             .select(F.least("na", "nb").alias("a"),
+                     F.greatest("na", "nb").alias("b"), *value_cols))
+    mm = members.filter("_nonempty")
+    intra = (mm.select(F.col("rep").alias("_r"), F.col("id").alias("a"))
+             .join(mm.select(F.col("rep").alias("_r"),
+                             F.col("id").alias("b")), "_r")
+             .filter(F.col("a") < F.col("b"))
+             .select("a", "b", F.lit(1.0).alias("jaccard")))
+    if fast_accept is not None:
+        # the accept branch the uncollapsed path takes at est 1.0
+        intra = intra.withColumn("estimated",
+                                 F.lit(float(fast_accept) <= 1.0))
+    if t > 1.0 or (est_prefilter or 0.0) > 1.0:
+        intra = intra.limit(0)  # nothing passes those cutoffs uncollapsed
+    return cross.unionByName(intra), overflow
+
+
 def minhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", cfg: DedupConfig = DEFAULT,
                   threshold: float | None = None,
                   sigs: DataFrame | None = None,
                   sets: DataFrame | None = None,
                   skew_mode: str | None = None,
-                  est_prefilter: float | None = None) -> DataFrame:
+                  est_prefilter: float | None = None,
+                  collapse_identical: bool = False) -> DataFrame:
     """(a, b, jaccard) convenience wrapper over ``minhash_edges`` for the
     LOSSLESS modes only (``skew_mode`` in {None, 'salt'}).  The lossy 'cap'
     mode returns a quarantine frame that must not be discarded — call
@@ -193,5 +282,6 @@ def minhash_pairs(df: DataFrame, id_col: str = "doc_id",
             "and persist/report the returned overflow frame")
     pairs, _empty = minhash_edges(
         df, id_col, text_col, cfg, threshold, sigs=sigs, sets=sets,
-        skew_mode=skew_mode, est_prefilter=est_prefilter)
+        skew_mode=skew_mode, est_prefilter=est_prefilter,
+        collapse_identical=collapse_identical)
     return pairs

@@ -164,7 +164,10 @@ def run(
                 skew_mode="salt", est_prefilter=est_cut,
                 fast_accept=fast_cut,
                 sigs=sigs.select("id", "minhash"),
-                sets=sigs.select("id", "shingles"))
+                sets=sigs.select("id", "shingles"),
+                # bit-identical (pytest-pinned); exact-dup cliques skip
+                # banding/verify and expand from one representative
+                collapse_identical=True)
             checkpoint.write(
                 overflow.groupBy("table_id", "band_key")
                 .agg(F.count(F.lit(1)).alias("n_overflow")),
