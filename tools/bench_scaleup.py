@@ -108,11 +108,23 @@ def main() -> None:
             pred = cluster_pairs(
                 res.assignments.select("cluster_id", "id"))
             m = metrics_frame(pred, truth).first()
+            # cluster-size tail: single-link transitive closure can chain
+            # legitimately-verified pairs into large components (on this
+            # synthetic corpus, stopword-heavy 620-token-vocab texts make
+            # cross-group anchor/shingle collisions a birthday effect at
+            # 55k groups); the tail explains precision_vs_planted, which
+            # is NOT the north-rule gate (recall is)
+            sz = res.cluster_sizes.agg(
+                F.max("n_members").alias("mx"),
+                F.sum(F.col("n_members") * (F.col("n_members") - 1) / 2)
+                .alias("co_pairs")).first()
             out["planted"] = {
                 "n_groups": n_groups,
                 "truth_pairs": m["tp"] + m["fn"],
                 "recall": float(m["recall"]),
                 "precision_vs_planted": float(m["precision"]),
+                "max_cluster": int(sz["mx"]),
+                "co_member_pairs": int(sz["co_pairs"]),
                 "eval_sec": round(time.time() - t1, 1),
             }
         print(json.dumps(out))

@@ -98,7 +98,9 @@ def incremental_dedup(spark: SparkSession, input_dir: str, work_dir: str,
     backfill burst doesn't bottleneck on a single writer task.  Long
     streams should additionally run ``compact_store`` periodically (the
     parquet stand-in for Iceberg's ``rewriteDataFiles``) to fold the
-    per-batch partitions into the base partition.
+    per-batch partitions into the base partition — BETWEEN triggers or
+    while the stream is stopped, never concurrently with an active
+    micro-batch (``compact_store`` enforces this; see its docstring).
     """
     store_path = os.path.join(work_dir, SIG_STORE)
     pairs_path = os.path.join(work_dir, PAIRS_TABLE)
