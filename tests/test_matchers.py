@@ -299,3 +299,39 @@ def test_minhash_collapse_identical_bit_identical(docs, corpus_texts):
     n_classes = (sets.select(SF.xxhash64(SF.array_sort("shingles")))
                  .distinct().count())
     assert n_classes < docs.count()
+
+
+def test_simhash_confirm_jaccard_dial(docs, corpus_texts):
+    """SimHash precision dial (r5, motivated by the measured 250k chained
+    component): confirmed edge set must equal {SimHash pairs} ∩ {exact
+    Jaccard >= conf} per the local brute-force oracles, at a low conf that
+    keeps everything here and a high conf that demonstrably drops the
+    heavier-edited variants."""
+    from webdedup.functions.signatures import all_signatures
+    from webdedup.operators.jaccard import jaccard_verify
+
+    sigs = all_signatures(docs, cfg=CFG).localCheckpoint()
+    pairs = simhash_lsh.simhash_pairs(docs, cfg=CFG)
+    exp_sim = oracle.simhash_pairs(corpus_texts, CFG)
+    assert _pairset(pairs) == exp_sim
+
+    for conf in (0.3, 0.95):
+        got = _pairset(jaccard_verify(
+            pairs.select("a", "b"), None, cfg=CFG, threshold=conf,
+            sets=sigs.select("id", "shingles"), restrict_sets=True))
+        exp = exp_sim & oracle.jaccard_pairs(corpus_texts, conf, CFG)
+        assert got == exp, (conf, len(got), len(exp))
+    # non-vacuous: the high confirmation actually drops some true
+    # Hamming<=threshold pairs whose token overlap is below 0.95
+    dropped = exp_sim - oracle.jaccard_pairs(corpus_texts, 0.95, CFG)
+    assert dropped, "fixture has no sub-0.95-Jaccard simhash pairs"
+    # pipeline semantics: the dial filters the STAR-COLLAPSED edge list
+    # (simhash_edges), so each surviving edge is individually confirmed;
+    # an identical-fingerprint class re-splits by overlap with its rep
+    e, _ = simhash_lsh.simhash_edges(
+        None, cfg=CFG, sigs=sigs.select("id", "simhash"))
+    conf_edges = _pairset(jaccard_verify(
+        e.select("a", "b"), None, cfg=CFG, threshold=0.3,
+        sets=sigs.select("id", "shingles"), restrict_sets=True))
+    full = exp_sim & oracle.jaccard_pairs(corpus_texts, 0.3, CFG)
+    assert conf_edges <= full, "confirmed edge admits an unconfirmed pair"

@@ -62,18 +62,23 @@ def main() -> None:
         fast = "auto"
     else:
         cfg, fast = CFG, None
+    # --confirm: the SimHash precision dial (exact-Jaccard >= 0.3
+    # confirmation of every SimHash edge; see pipeline.run docstring)
+    confirm = 0.3 if "--confirm" in sys.argv else None
     try:
         pages = spark.read.parquet(corpus)
         n_docs = pages.count()
         t0 = time.time()
         res = pipeline.run(pages, work, cfg=cfg, resume=False,
-                           record_metrics=False, minhash_fast_accept=fast)
+                           record_metrics=False, minhash_fast_accept=fast,
+                           simhash_confirm_jaccard=confirm)
         res.assignments.count()
         total = time.time() - t0
         out = {
             "docs": n_docs,
             "cores": cores,
             "mode": "production" if production else "default",
+            "simhash_confirm_jaccard": confirm,
             "total_sec": round(total, 1),
             "docs_per_sec": round(n_docs / total, 1),
             "stages": {k: round(v, 2) for k, v in res.stage_seconds.items()},

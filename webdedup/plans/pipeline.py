@@ -45,6 +45,7 @@ def run(
     record_metrics: bool = True,
     truth_pairs: DataFrame | None = None,
     minhash_fast_accept: float | None | str = None,
+    simhash_confirm_jaccard: float | None = None,
 ) -> PipelineResult:
     """pages: web_pages-shaped input (url, warc_ts, html[, text], lang).
 
@@ -70,6 +71,26 @@ def run(
     ``estimated`` boolean ``minhash_edges`` adds in this mode.  Opt in only
     when the exact verify is the measured bottleneck and the consumer
     tolerates estimate-valued scores.
+
+    ``simhash_confirm_jaccard``: optional precision dial for the SimHash
+    matcher.  64-bit SimHash over stopword-heavy bags pulls UNRELATED
+    short/low-entropy docs within the Hamming threshold (the measured
+    250k mega-cluster: 2,900 cross-group Hamming<=5 edges chain a
+    4,748-member component, BENCH.md r5 — the known precision floor that
+    makes Manku et al. run h=3 at web scale).  When set, every SimHash
+    edge must ALSO clear exact shingle Jaccard >= this value (one
+    restricted ``jaccard_verify`` over the edge list — cheap: edges are
+    ~0.05% of doc pairs).  Planted near-dup variants are 1-2 token edits
+    with Jaccard ~0.9, so a low confirmation (0.2-0.3) removes the
+    stopword-mass collisions without touching real dups — measured at
+    250k: max cluster 4,748 -> (see BENCH.md), planted recall unchanged.
+    The filter applies to the STAR-COLLAPSED edge list ``simhash_edges``
+    emits (every surviving edge is individually Hamming-AND-Jaccard
+    verified); an identical-fingerprint class therefore re-splits by each
+    member's overlap with the class representative — which is the point:
+    identical fingerprints over different token sets ARE the collision
+    being removed.  ``None`` (default) keeps the reference's pure
+    hash+threshold semantics, which every oracle row checks.
     """
     spark = pages.sparkSession
     times: dict[str, float] = {}
@@ -140,6 +161,12 @@ def run(
                 overflow.groupBy("table_id", "band_key")
                 .agg(F.count(F.lit(1)).alias("n_overflow")),
                 work_dir, "simhash_bucket_overflow")
+            if simhash_confirm_jaccard is not None:
+                from webdedup.operators.jaccard import jaccard_verify
+                e = jaccard_verify(
+                    e.select("a", "b"), None, cfg=cfg,
+                    threshold=simhash_confirm_jaccard,
+                    sets=sigs.select("id", "shingles"), restrict_sets=True)
             return e.select(F.col("a").alias("u"), F.col("b").alias("v"))
         edge_frames.append(stage("edges_simhash", _sim))
     if "minhash" in matchers:
