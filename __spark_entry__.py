@@ -189,9 +189,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("id").alias("doc_id"),
             F.posexplode("minhash").alias("perm_id", "sig_value"))
     # banded LSH candidates -> exact-verified pairs.  Oracle-checked after
-    # all: the seeded perms are inlined in SQL and banding is slice equality
+    # all: the seeded perms are inlined in SQL and banding is slice equality.
+    # collapse_identical (r5) is bit-identical (pytest) — running it here
+    # puts the rep-collapse path itself on the driver's hash-exact gate
     q["minhash_lsh_pairs"] = lambda s, d: minhash_lsh.minhash_pairs(
-        _docs(s, d), cfg=CFG, threshold=CFG.jaccard_threshold).withColumn(
+        _docs(s, d), cfg=CFG, threshold=CFG.jaccard_threshold,
+        collapse_identical=True).withColumn(
             "jaccard", F.round("jaccard", 6))
 
     # signature-estimate Jaccard re-rank over the banded candidates — the
