@@ -189,10 +189,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("id").alias("doc_id"),
             F.posexplode("minhash").alias("perm_id", "sig_value"))
     # banded LSH candidates -> exact-verified pairs.  Oracle-checked after
-    # all: the seeded perms are inlined in SQL and banding is slice equality.
-    # collapse_identical (r5) is bit-identical (pytest) — running it here
-    # puts the rep-collapse path itself on the driver's hash-exact gate
+    # all: the seeded perms are inlined in SQL and banding is slice equality
     q["minhash_lsh_pairs"] = lambda s, d: minhash_lsh.minhash_pairs(
+        _docs(s, d), cfg=CFG, threshold=CFG.jaccard_threshold).withColumn(
+            "jaccard", F.round("jaccard", 6))
+    # the r5 identical-set collapse as its own driver-gated row: SAME twin
+    # SQL (the collapse is bit-identical by construction, pytest-pinned);
+    # a hash mismatch here would catch any future drift in the rep-expand
+    # path without perturbing the timed headline query above
+    q["minhash_lsh_pairs_collapsed"] = lambda s, d: minhash_lsh.minhash_pairs(
         _docs(s, d), cfg=CFG, threshold=CFG.jaccard_threshold,
         collapse_identical=True).withColumn(
             "jaccard", F.round("jaccard", 6))
@@ -475,6 +480,8 @@ def oracle_sql() -> dict[str, str]:
             CFG.shingle_k, CFG.jaccard_threshold, CFG.max_bucket_size),
         "minhash_sig": oracle_sql_mod.minhash_sig_long(CFG),
         "minhash_lsh_pairs": oracle_sql_mod.minhash_lsh_pairs(
+            CFG, CFG.jaccard_threshold),
+        "minhash_lsh_pairs_collapsed": oracle_sql_mod.minhash_lsh_pairs(
             CFG, CFG.jaccard_threshold),
         "minhash_est_jaccard": oracle_sql_mod.minhash_est_jaccard(CFG),
         "substring_pairs": oracle_sql_mod.substring_pairs(CFG),

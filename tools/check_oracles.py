@@ -58,7 +58,8 @@ def main() -> int:
                "embedding_norms", "vector_signatures", "media_frames",
                "windowed_event_stats", "event_props_stats"}
     PAIRS = {"simhash_pairs", "simhash_pairs_combo", "jaccard_pairs",
-             "minhash_lsh_pairs", "minhash_est_jaccard", "substring_pairs",
+             "minhash_lsh_pairs", "minhash_lsh_pairs_collapsed",
+             "minhash_est_jaccard", "substring_pairs",
              "cluster_assignments", "representatives", "duplicate_sets",
              "pipeline_eval", "matcher_agreement"}
     args = sys.argv[2:]
