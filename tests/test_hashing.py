@@ -81,10 +81,30 @@ def test_simhash_empty_is_zero():
 def test_minhash_perm_bounds():
     a, b = hashing.minhash_perms(128, 42)
     assert len(a) == len(b) == 128
-    assert (a % 2 == 1).all(), "a coefficients must be odd"
-    assert int(a.max()) < (1 << 31) and int(b.max()) < (1 << 31)
+    # full-field coefficients (r5): a in [1, p), b in [0, p) — a 31-bit a
+    # let tiny h32 values win every permutation (no modular wrap)
+    assert (a >= 1).all() and int(a.max()) < hashing.MERSENNE61
+    assert int(b.max()) < hashing.MERSENNE61
+    assert int(a.min()) >= (1 << 31), \
+        "full-field draw should not produce narrow coefficients"
     a2, b2 = hashing.minhash_perms(128, 42)
     assert (a == a2).all() and (b == b2).all(), "seeded -> reproducible"
+
+
+def test_perm_mod_p_exact_vs_python_ints():
+    """The rotate-based uint64 modmul must equal big-int (a*h+b) % p for
+    adversarial h values (0, 1, tiny, max) and every coefficient — the
+    bit-for-bit contract the DuckDB HUGEINT twin relies on."""
+    import numpy as np
+    a, b = hashing.minhash_perms(128, 42)
+    hs = np.array([0, 1, 2, 35341, 12345678, (1 << 31) - 1,
+                   (1 << 32) - 1, 0xDEADBEEF], dtype=np.uint64)
+    got = hashing.perm_mod_p(a, b, hs)
+    p = hashing.MERSENNE61
+    for i in range(len(a)):
+        for j in range(len(hs)):
+            exp = (int(a[i]) * int(hs[j]) + int(b[i])) % p
+            assert int(got[i, j]) == exp, (i, j)
 
 
 # --- non-ASCII whitespace: all three engines must split identically --------

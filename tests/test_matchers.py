@@ -335,3 +335,28 @@ def test_simhash_confirm_jaccard_dial(docs, corpus_texts):
         sets=sigs.select("id", "shingles"), restrict_sets=True))
     full = exp_sim & oracle.jaccard_pairs(corpus_texts, 0.3, CFG)
     assert conf_edges <= full, "confirmed edge admits an unconfirmed pair"
+
+
+def test_simhash_confirm_est_mode_agreement(docs, corpus_texts):
+    """'est' confirmation (signature-estimate, the near-free 10^12-doc
+    mode): must agree with exact confirmation outside the estimator's
+    noise band — every SimHash edge with exact J >= conf+margin is kept,
+    every one with exact J < conf-margin is dropped (margin ≈ 3σ of the
+    128-perm estimator).  Deterministic for the seeded perms, so this is
+    a hard assertion, not a flaky probabilistic one."""
+    from webdedup.functions.signatures import all_signatures
+
+    sigs = all_signatures(docs, cfg=CFG).localCheckpoint()
+    e, _ = simhash_lsh.simhash_edges(
+        None, cfg=CFG, sigs=sigs.select("id", "simhash"))
+    edge_set = _pairset(e)
+    conf, margin = 0.3, 0.15
+    est = minhash_lsh.signature_jaccard(
+        e.select("a", "b"), sigs.select("id", "minhash"))
+    kept = {(r["a"], r["b"]) for r in
+            est.filter(F.col("est_jaccard") >= conf).collect()}
+    high = oracle.jaccard_pairs(corpus_texts, conf + margin, CFG)
+    above_floor = oracle.jaccard_pairs(corpus_texts, conf - margin, CFG)
+    assert (edge_set & high) <= kept, "est dropped a clearly-above pair"
+    assert not (kept - above_floor), "est kept a clearly-below pair"
+    assert kept, "vacuous fixture"

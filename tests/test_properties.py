@@ -78,7 +78,7 @@ def test_minhash_permutation_bounds(shingle_tokens):
     a, b = hashing.minhash_perms(CFG.minhash_perms, CFG.seed)
     hs = np.fromiter((hashing.h32_py(s) for s in shingle_tokens),
                      dtype=np.uint64)
-    vals = (a[:, None] * hs[None, :] + b[:, None]) % np.uint64(hashing.MERSENNE61)
+    vals = hashing.perm_mod_p(a, b, hs)
     sig = vals.min(axis=1)
     assert (sig < (1 << 61) - 1).all()
     # containment: adding shingles can only lower each signature slot

@@ -28,9 +28,9 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Mersenne prime 2^61 - 1: modulus for MinHash universal hashing.
-# a (31-bit) * h32 (32-bit) <= 2^63 < 2^64, so the product is exact in uint64.
+# Coefficients span the full field (see minhash_perms); the numpy side uses
+# the exact rotate-based modmul in perm_mod_p, the DuckDB side HUGEINT.
 MERSENNE61 = (1 << 61) - 1
-PERM_A_BITS = 31
 
 
 # ---------------------------------------------------------------------------
@@ -67,16 +67,67 @@ def to_signed64(u: int) -> int:
 
 
 def minhash_perms(num_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
-    """Seeded (a, b) coefficients for ``sig_i = min((a_i*h32 + b_i) % p)``.
+    """Seeded (a, b) coefficients for ``sig_i = min((a_i*h32 + b_i) % p)``,
+    drawn over the FULL 61-bit field ``[1, p)`` / ``[0, p)``.
+
+    Why full-width (r5 fix): with the earlier 31-bit coefficients,
+    ``a*h + b`` never wrapped the Mersenne modulus for small ``h32`` —
+    a shingle whose 32-bit hash happened to be tiny produced a permuted
+    value ~h·a ≪ p at EVERY permutation and won every min, so one such
+    shingle in the non-shared part of a pair drove the signature estimate
+    of a true J≈0.94 pair to ≈0 (measured on the fixture corpus:
+    agreement 1/128 at set-Jaccard 0.94).  With 61-bit ``a`` the product
+    wraps the modulus for every ``h >= 1``, restoring the uniformity the
+    MinHash estimator needs.  The numpy side computes the SAME exact
+    value via the Mersenne rotate trick (``perm_mod_p``); the DuckDB twin
+    computes it directly in HUGEINT (a·h < 2^93).
 
     Generated once on the driver from the fixed seed and broadcast via UDF
     closure — the distributed analog of the reference's ``srand(42)``
     hyperplane generation (``simhash.cpp:149-174``).
     """
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, 1 << PERM_A_BITS, size=num_perms, dtype=np.int64) | 1
-    b = rng.randint(0, 1 << PERM_A_BITS, size=num_perms, dtype=np.int64)
+    # RandomState.randint caps high at 2^63 for int64: draw 61-bit values
+    # from two 31-bit words (exactly reproducible everywhere)
+    def draw(low: int) -> np.ndarray:
+        while True:
+            hi = rng.randint(0, 1 << 30, size=num_perms, dtype=np.int64)
+            lo = rng.randint(0, 1 << 31, size=num_perms, dtype=np.int64)
+            v = (hi << 31) | lo  # < 2^61
+            if ((v >= low) & (v < MERSENNE61)).all():
+                return v
+    a = draw(1)
+    b = draw(0)
     return a.astype(np.uint64), b.astype(np.uint64)
+
+
+_P61 = np.uint64(MERSENNE61)
+_M32 = np.uint64(0xFFFFFFFF)
+
+
+def _fold61(x: np.ndarray) -> np.ndarray:
+    """x (uint64, any value) -> x mod (2^61 - 1), branch-free."""
+    x = (x >> np.uint64(61)) + (x & _P61)
+    return np.where(x >= _P61, x - _P61, x)
+
+
+def perm_mod_p(a: np.ndarray, b: np.ndarray, hs: np.ndarray) -> np.ndarray:
+    """Exact ``(a[:,None]*hs[None,:] + b[:,None]) mod (2^61-1)`` for
+    a, b < 2^61 and hs < 2^32, entirely in uint64 (no overflow):
+
+    split ``a = a_hi·2^32 + a_lo``; ``a_lo·h < 2^64`` folds directly;
+    ``a_hi·h < 2^61`` is multiplied by 2^32 as a 61-bit ROTATE (for the
+    Mersenne modulus, ``v·2^k mod p`` is rotl61(v, k)); the three terms
+    sum below 2^63 and fold once.  Matches the DuckDB twin's
+    ``(a::HUGEINT * h + b) % p`` bit-for-bit.
+    """
+    a = a[:, None]
+    b = b[:, None]
+    h = hs[None, :]
+    lo = _fold61((a & _M32) * h)
+    hi = _fold61((a >> np.uint64(32)) * h)   # a_hi < 2^29 -> product < 2^61
+    rot = ((hi << np.uint64(32)) & _P61) | (hi >> np.uint64(29))
+    return _fold61(lo + rot + b)
 
 
 def hyperplanes(num_bits: int, dim: int, seed: int) -> np.ndarray:

@@ -108,8 +108,10 @@ def minhash_udf(cfg: DedupConfig = DEFAULT) -> Column:
                 (hashing.h32_py(s) for s in set(sh)),
                 dtype=np.uint64,
             )
-            # (perms x shingles) exact in uint64: a<2^31, h<2^32 => a*h<2^63
-            vals = (a[:, None] * hs[None, :] + b[:, None]) % p
+            # exact (a*h + b) mod p over the full 61-bit field — the
+            # rotate-based modmul (see hashing.perm_mod_p; the narrow-a
+            # formula let tiny h32 values win every permutation, r5 fix)
+            vals = hashing.perm_mod_p(a, b, hs)
             return [int(v) for v in vals.min(axis=1)]
 
         return texts.map(sig)
@@ -239,7 +241,7 @@ def all_signatures(df, cfg: DedupConfig = DEFAULT,
                     s5 = _window_mix(th, k)
                     sh60_arr = np.unique(s5 >> np.uint64(4))   # 60-bit ids
                     h32_arr = np.unique(s5 >> np.uint64(32))   # minhash input
-                    vals = (a[:, None] * h32_arr[None, :] + b[:, None]) % p
+                    vals = hashing.perm_mod_p(a, b, h32_arr)
                     minsig = [int(v) for v in vals.min(axis=1)]
                     a60 = _window_mix(th, K) >> np.uint64(4)
                     anch_list = [int(v) for v in np.unique(
@@ -261,7 +263,7 @@ def all_signatures(df, cfg: DedupConfig = DEFAULT,
                     h32s[v >> 28] = None
                 if h32s:
                     hs = np.fromiter(h32s, dtype=np.uint64, count=len(h32s))
-                    vals = (a[:, None] * hs[None, :] + b[:, None]) % p
+                    vals = hashing.perm_mod_p(a, b, hs)
                     minsig = [int(v) for v in vals.min(axis=1)]
                 else:
                     minsig = empty_sig

@@ -46,6 +46,7 @@ def run(
     truth_pairs: DataFrame | None = None,
     minhash_fast_accept: float | None | str = None,
     simhash_confirm_jaccard: float | None = None,
+    simhash_confirm_mode: str = "exact",
 ) -> PipelineResult:
     """pages: web_pages-shaped input (url, warc_ts, html[, text], lang).
 
@@ -91,6 +92,19 @@ def run(
     identical fingerprints over different token sets ARE the collision
     being removed.  ``None`` (default) keeps the reference's pure
     hash+threshold semantics, which every oracle row checks.
+
+    ``simhash_confirm_mode``: ``'exact'`` (default) confirms with exact
+    exploded-shingle Jaccard (measured +60 s at 250k/4 cores — the
+    shingle join over every edge endpoint).  ``'est'`` confirms with the
+    128-perm SIGNATURE estimate instead (one ``zip_with`` over the
+    already-materialized minhash column — the same re-rank metric as
+    ``minhash_search.py:81-83``): unbiased, σ = sqrt(J(1-J)/128) ≈ 0.04,
+    so collisions (J ≲ 0.1) and real near-dup edits (J ≳ 0.5) are both
+    >3σ from a 0.3 cutoff — deterministic per corpus, near-free, and the
+    right default at 10^12 docs where the exact confirm would re-shuffle
+    every edge endpoint's shingle set.  Borderline pairs within ±3σ of
+    the cutoff can flip vs 'exact' (the pytest contract pins the two
+    modes' agreement outside that band).
     """
     spark = pages.sparkSession
     times: dict[str, float] = {}
@@ -162,11 +176,20 @@ def run(
                 .agg(F.count(F.lit(1)).alias("n_overflow")),
                 work_dir, "simhash_bucket_overflow")
             if simhash_confirm_jaccard is not None:
-                from webdedup.operators.jaccard import jaccard_verify
-                e = jaccard_verify(
-                    e.select("a", "b"), None, cfg=cfg,
-                    threshold=simhash_confirm_jaccard,
-                    sets=sigs.select("id", "shingles"), restrict_sets=True)
+                if simhash_confirm_mode == "exact":
+                    from webdedup.operators.jaccard import jaccard_verify
+                    e = jaccard_verify(
+                        e.select("a", "b"), None, cfg=cfg,
+                        threshold=simhash_confirm_jaccard,
+                        sets=sigs.select("id", "shingles"),
+                        restrict_sets=True)
+                elif simhash_confirm_mode == "est":
+                    e = minhash_lsh.signature_jaccard(
+                        e.select("a", "b"), sigs.select("id", "minhash")
+                    ).filter(
+                        F.col("est_jaccard") >= simhash_confirm_jaccard)
+                else:
+                    raise ValueError(simhash_confirm_mode)
             return e.select(F.col("a").alias("u"), F.col("b").alias("v"))
         edge_frames.append(stage("edges_simhash", _sim))
     if "minhash" in matchers:
