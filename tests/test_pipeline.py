@@ -205,3 +205,24 @@ def test_boilerplate_hot_group_clustered(result):
         F.col("id").startswith("https://example.org/g000000/"))
     n_clusters = boiler.select("cluster_id").distinct().count()
     assert n_clusters == 1
+
+
+def test_pipeline_simhash_confirm_modes_keep_recall(spark, pages):
+    """Both confirmation modes of the SimHash precision dial (r5) must keep
+    the golden recall gate: the planted near-dup variants (1-2 token edits,
+    J ~0.9) clear a 0.3 confirmation in exact AND estimate mode, so only
+    fingerprint collisions can be removed."""
+    truth = spark.createDataFrame(
+        [(a, b) for a, b, _ in corpus.golden_pairs(CFG.seed, N_GROUPS)],
+        "a string, b string")
+    for mode in ("exact", "est"):
+        d = tempfile.mkdtemp(prefix=f"webdedup_confirm_{mode}_")
+        try:
+            res = pipeline.run(pages, d, cfg=CFG, resume=False,
+                               record_metrics=False, truth_pairs=truth,
+                               simhash_confirm_jaccard=0.3,
+                               simhash_confirm_mode=mode)
+            rep = {r["metric"]: r["value"] for r in res.report.collect()}
+            assert rep["eval/recall"] >= 0.99, (mode, rep["eval/recall"])
+        finally:
+            shutil.rmtree(d, ignore_errors=True)

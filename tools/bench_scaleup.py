@@ -63,15 +63,19 @@ def main() -> None:
     else:
         cfg, fast = CFG, None
     # --confirm: the SimHash precision dial (exact-Jaccard >= 0.3
-    # confirmation of every SimHash edge; see pipeline.run docstring)
-    confirm = 0.3 if "--confirm" in sys.argv else None
+    # confirmation of every SimHash edge; see pipeline.run docstring).
+    # --confirm-est uses the near-free 128-perm signature estimate instead.
+    confirm = 0.3 if ("--confirm" in sys.argv
+                      or "--confirm-est" in sys.argv) else None
+    confirm_mode = "est" if "--confirm-est" in sys.argv else "exact"
     try:
         pages = spark.read.parquet(corpus)
         n_docs = pages.count()
         t0 = time.time()
         res = pipeline.run(pages, work, cfg=cfg, resume=False,
                            record_metrics=False, minhash_fast_accept=fast,
-                           simhash_confirm_jaccard=confirm)
+                           simhash_confirm_jaccard=confirm,
+                           simhash_confirm_mode=confirm_mode)
         res.assignments.count()
         total = time.time() - t0
         out = {
@@ -79,6 +83,7 @@ def main() -> None:
             "cores": cores,
             "mode": "production" if production else "default",
             "simhash_confirm_jaccard": confirm,
+            "simhash_confirm_mode": confirm_mode if confirm else None,
             "total_sec": round(total, 1),
             "docs_per_sec": round(n_docs / total, 1),
             "stages": {k: round(v, 2) for k, v in res.stage_seconds.items()},
