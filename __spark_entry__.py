@@ -156,6 +156,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["content_hashes"] = lambda s, d: exact.with_content_hash(
         _docs(s, d)).select("doc_id", "content_sha")
 
+    # per-source crawl-health rollup (the ops view a web-dedup pipeline
+    # monitors per domain/feed): volume, distinct content, exact-dup rate,
+    # size profile — one hash agg, the A1/A6 shapes keyed by source
+    def _source_dup_stats(s: SparkSession, d: str) -> DataFrame:
+        df = exact.with_content_hash(_docs(s, d))
+        n = F.count(F.lit(1))
+        nd = F.countDistinct("content_sha")
+        return (df.groupBy("source")
+                .agg(n.alias("n_docs"),
+                     nd.alias("n_distinct"),
+                     (n - nd).alias("n_exact_dups"),
+                     F.round((n - nd) / n, 6).alias("dup_rate"),
+                     F.round(F.avg("n_chars"), 6).alias("avg_chars")))
+
+    q["source_dup_stats"] = _source_dup_stats
+
     # --- text analysis ---
     q["token_stats"] = lambda s, d: textstats.token_stats(_docs(s, d))
     # BPE-ish regex-piece accounting + fertility (tokenizer cost budget)
@@ -467,6 +483,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_groups": oracle_sql_mod.exact_dup_groups(),
         "exact_dup_groups_planted": oracle_sql_mod.exact_dup_groups_planted(),
         "content_hashes": oracle_sql_mod.content_hashes(),
+        "source_dup_stats": oracle_sql_mod.source_dup_stats(),
         "token_stats": oracle_sql_mod.token_stats(),
         "subtoken_stats": oracle_sql_mod.subtoken_stats(),
         "quality_scores": oracle_sql_mod.quality_scores(),

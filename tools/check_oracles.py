@@ -54,7 +54,8 @@ def main() -> int:
     SCALARS = {"token_stats", "subtoken_stats", "quality_scores", "lang_id",
                "doc_fingerprint", "simhash64", "minhash_sig", "shingle_stats",
                "content_hashes", "exact_dup_groups", "exact_dup_groups_planted",
-               "source_labels", "lang_stats", "topk_per_lang", "media_meta",
+               "source_labels", "source_dup_stats", "lang_stats",
+               "topk_per_lang", "media_meta",
                "embedding_norms", "vector_signatures", "media_frames",
                "windowed_event_stats", "event_props_stats"}
     PAIRS = {"simhash_pairs", "simhash_pairs_combo", "jaccard_pairs",

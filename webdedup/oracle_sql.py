@@ -125,6 +125,22 @@ def content_hashes() -> str:
     return "SELECT doc_id, sha256(text) AS content_sha FROM documents"
 
 
+def source_dup_stats() -> str:
+    """Twin of the per-source crawl-health rollup: same sha256 content key
+    as ``content_hashes`` (both engines hash the UTF-8 text), distinct
+    counts skip NULL identically."""
+    return """
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT sha256(text))::BIGINT AS n_distinct,
+       (count(*) - count(DISTINCT sha256(text)))::BIGINT AS n_exact_dups,
+       round((count(*) - count(DISTINCT sha256(text)))::DOUBLE / count(*), 6)
+         AS dup_rate,
+       round(avg(n_chars), 6) AS avg_chars
+FROM documents GROUP BY 1
+"""
+
+
 def token_stats() -> str:
     return f"""
 WITH {TOKLIST_CTE.strip()}
