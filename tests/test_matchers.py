@@ -360,3 +360,38 @@ def test_simhash_confirm_est_mode_agreement(docs, corpus_texts):
     assert (edge_set & high) <= kept, "est dropped a clearly-above pair"
     assert not (kept - above_floor), "est kept a clearly-below pair"
     assert kept, "vacuous fixture"
+
+
+def test_minhash_empty_docs_never_pair(spark):
+    """r5 ADVICE: two empty/whitespace-only docs share the sentinel empty
+    signature; before the fix the uncollapsed fast-accept path banded them
+    together and accepted ('e1','e2', est 1.0) while the collapsed path
+    excluded them — a silent mode divergence.  Now BOTH modes exclude
+    empty-signature docs from banding entirely (matching exact-verify,
+    where empty-vs-anything Jaccard is 0 or 0/0 -> dropped), so the two
+    modes stay bit-identical on corpora containing empty docs and no
+    empty doc ever appears in a pair."""
+    rows = [("e1", ""), ("e2", "   \n\t "), ("e3", ""),
+            ("a1", "the quick brown fox jumps over the lazy dog again and "
+                   "again until the dog finally moves away from the gate"),
+            ("a2", "the quick brown fox jumps over the lazy dog again and "
+                   "again until the dog finally moves away from the door"),
+            ("b1", "completely unrelated text about spark catalyst plans "
+                   "and shuffle partitions in a distributed engine")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def rowset(frame):
+        return {tuple(r) for r in frame.collect()}
+
+    for kw in (dict(),  # exact-verify mode
+               dict(est_prefilter=0.2, fast_accept=0.6)):  # production mode
+        base, _ = minhash_lsh.minhash_edges(
+            docs, cfg=CFG, threshold=0.3, skew_mode="salt", **kw)
+        coll, _ = minhash_lsh.minhash_edges(
+            docs, cfg=CFG, threshold=0.3, skew_mode="salt",
+            collapse_identical=True, **kw)
+        b, c = rowset(base), rowset(coll)
+        assert b == c, (kw, b ^ c)
+        ids = {x for r in b for x in (r[0], r[1])}
+        assert not ids & {"e1", "e2", "e3"}, (kw, ids)
+        assert ("a1", "a2") in {(r[0], r[1]) for r in b}, kw

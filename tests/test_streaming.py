@@ -403,3 +403,69 @@ def test_compact_store_refuses_while_stream_active(spark, stream_dirs):
     finally:
         q.stop()
         q.awaitTermination(60)
+
+
+def test_sliding_window_rejects_non_dividing_slide(spark, stream_dirs):
+    """r5 ADVICE: the level-2 re-window containment argument in
+    sliding_window_dup_stats only holds when slide divides window; Spark
+    would silently return wrong per-window distinct counts for e.g.
+    window='1 hour', slide='25 minutes'.  The operator must raise, like
+    its DuckDB twin asserts."""
+    import pytest as _pytest
+
+    from webdedup.streaming import windows as win
+
+    rows = corpus.corpus_rows(42, 4)
+    batch = ingest.enrich_stream(
+        spark.createDataFrame(rows, schema=corpus.PAGE_KIND_SCHEMA)
+        .select("url", "warc_ts", "html", "text", "lang"))
+    for w, s in [("1 hour", "25 minutes"), ("4 minutes", "3 minutes"),
+                 ("1 hour", "0 seconds")]:
+        with _pytest.raises(ValueError):
+            win.sliding_window_dup_stats(batch, window=w, slide=s)
+    # dividing slides (incl. multi-unit specs) still construct fine
+    win.sliding_window_dup_stats(batch, window="1 hour 30 minutes",
+                                 slide="30 minutes")
+    with _pytest.raises(ValueError):
+        win._interval_seconds("nonsense")
+
+
+def test_scheme_stamp_blocks_incompatible_resume(spark, stream_dirs):
+    """r5 ADVICE: a work_dir written under a different signature scheme
+    (e.g. the pre-r5 31-bit MinHash coefficients) must REFUSE to resume —
+    stored signatures would silently never match fresh ones otherwise."""
+    import json
+    import os
+
+    from webdedup.streaming import incremental
+
+    rows = corpus.corpus_rows(42, 6)
+    spark.createDataFrame(rows, schema=corpus.PAGE_KIND_SCHEMA) \
+        .select("url", "warc_ts", "html", "text", "lang") \
+        .coalesce(1).write.mode("overwrite").parquet(stream_dirs["in"])
+    q = incremental.incremental_dedup(
+        spark, stream_dirs["in"], stream_dirs["out"], stream_dirs["ckpt"],
+        max_files_per_trigger=8)
+    q.awaitTermination(120)
+
+    stamp = os.path.join(stream_dirs["out"], incremental.SCHEME_STAMP)
+    assert os.path.isfile(stamp), "first run must write the scheme stamp"
+    with open(stamp) as f:
+        orig = json.load(f)
+
+    # same scheme resumes fine (no stream start needed — the check runs
+    # before the stream is constructed)
+    incremental.check_scheme_stamp(stream_dirs["out"])
+
+    # tampered version (simulating a pre-r5 store) must refuse
+    with open(stamp, "w") as f:
+        json.dump({**orig, "sig_scheme_version": 1}, f)
+    with pytest.raises(RuntimeError, match="different signature scheme"):
+        incremental.incremental_dedup(
+            spark, stream_dirs["in"], stream_dirs["out"],
+            stream_dirs["ckpt"], max_files_per_trigger=8)
+
+    # unstamped pre-versioning store must also refuse
+    os.remove(stamp)
+    with pytest.raises(RuntimeError, match="predates scheme versioning"):
+        incremental.check_scheme_stamp(stream_dirs["out"])

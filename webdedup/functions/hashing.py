@@ -32,6 +32,16 @@ from pyspark.sql import functions as F
 # the exact rotate-based modmul in perm_mod_p, the DuckDB side HUGEINT.
 MERSENNE61 = (1 << 61) - 1
 
+# Version of the signature SCHEME (the mapping text -> simhash/minhash
+# VALUES, independent of any config knob).  Bump whenever an implementation
+# change alters produced signature values for the same input + config —
+# persisted signature stores stamped with a different version must be
+# rebuilt, because stored signatures would silently never match fresh ones
+# (r5 ADVICE: the 31-bit -> 61-bit MinHash coefficient fix was exactly such
+# a change).  History: 1 = rounds 1-4 (31-bit minhash coefficients);
+# 2 = round 5+ (full 61-bit coefficients, exact Mersenne rotate-modmul).
+SIG_SCHEME_VERSION = 2
+
 
 # ---------------------------------------------------------------------------
 # Python / numpy

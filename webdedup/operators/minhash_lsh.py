@@ -148,16 +148,32 @@ def minhash_edges(df: DataFrame | None, id_col: str = "doc_id",
     shingle array (collision odds ~2^-128·n² — far below the md5-derived
     shingle hashing the operator is already built on).  Output is
     BIT-IDENTICAL to ``collapse_identical=False`` (pytest-pinned both
-    modes); only the work changes.  Unsupported with ``skew_mode='cap'``
-    (overflow quarantine counts are per-document semantics).  Empty
-    shingle sets are excluded from the intra-class shortcut: their pairwise
-    Jaccard is 0/0 -> NULL and the uncollapsed verify drops them.
+    modes, including an empty-text doc pair); only the work changes.
+    Unsupported with ``skew_mode='cap'`` (overflow quarantine counts are
+    per-document semantics).  Empty shingle sets never pair in EITHER
+    mode: they are filtered out before banding (sentinel-signature filter
+    below), matching the exact-verify semantics where empty-vs-anything
+    Jaccard is 0 or 0/0 -> NULL and is dropped.
     """
     t = cfg.minhash_threshold if threshold is None else threshold
     if sigs is None:
         # lazy checkpoint: signature UDF would otherwise run once per join arm
         sigs = minhash_signatures(df, id_col, text_col, cfg).localCheckpoint(
             eager=False)
+    # Empty-shingle-set docs carry the sentinel signature (MERSENNE61 at
+    # every position — signatures.minhash_udf).  They can never survive the
+    # exact verify (empty vs anything is J = 0 or 0/0 -> NULL, both dropped),
+    # but in fast-accept mode two empty docs band together and would be
+    # accepted at est 1.0 WITHOUT verification — while the collapsed path's
+    # intra-class clique excludes them (its _nonempty filter).  Exclude them
+    # from banding entirely: fixes that divergence (r5 ADVICE), makes both
+    # modes match the exact-verify semantics ("two unrelated empty docs are
+    # not Jaccard-1.0 dups"), and removes the empty-doc mega-bucket a real
+    # crawl would otherwise salt around.  Only degenerate threshold 0.0
+    # could notice (empty-vs-nonempty J=0 pairs — which banding essentially
+    # never surfaces as candidates anyway).
+    from webdedup.functions.hashing import MERSENNE61
+    sigs = sigs.filter(F.element_at("minhash", 1) != F.lit(MERSENNE61))
     if collapse_identical:
         if skew_mode == "cap":
             raise ValueError(

@@ -43,6 +43,61 @@ from webdedup.streaming.ingest import enrich_stream, read_page_stream
 
 SIG_STORE = "sig_store.parquet"
 PAIRS_TABLE = "incremental_pairs.parquet"
+SCHEME_STAMP = "_sig_scheme.json"
+
+
+def _scheme_stamp(cfg: DedupConfig) -> dict:
+    """The fields that determine stored signature VALUES (not matching
+    behavior): implementation version + the config knobs the simhash /
+    content-hash enrichment depends on.  Banding scheme / thresholds are
+    deliberately absent — they are recomputed per run and may change
+    across a resume without corrupting the store."""
+    from webdedup.functions.hashing import SIG_SCHEME_VERSION
+
+    return {
+        "sig_scheme_version": SIG_SCHEME_VERSION,
+        "simhash_bits": cfg.simhash_bits,
+        "hash_scheme": cfg.hash_scheme,
+        "seed": cfg.seed,
+    }
+
+
+def check_scheme_stamp(work_dir: str, cfg: DedupConfig = DEFAULT) -> None:
+    """Refuse to resume an incremental work_dir whose signature store was
+    written under a DIFFERENT signature scheme (r5 ADVICE: the 61-bit
+    MinHash coefficient fix changed every persisted signature — stored
+    sigs would silently never match fresh ones, with no error).  Writes
+    the stamp on first use; raises on mismatch OR on an unstamped
+    pre-existing store (pre-versioning work dirs must be rebuilt)."""
+    import json
+
+    want = _scheme_stamp(cfg)
+    stamp_path = os.path.join(work_dir, SCHEME_STAMP)
+    store_path = os.path.join(work_dir, SIG_STORE)
+    store_exists = os.path.isdir(store_path) and any(
+        f.startswith("_batch_id=") for f in os.listdir(store_path))
+    if os.path.isfile(stamp_path):
+        with open(stamp_path) as f:
+            have = json.load(f)
+        if have != want:
+            diff = {k: (have.get(k), want[k]) for k in want
+                    if have.get(k) != want[k]}
+            raise RuntimeError(
+                f"signature store at {work_dir} was written under a "
+                f"different signature scheme {diff} (stored != current); "
+                f"stored signatures would silently never match fresh ones. "
+                f"Rebuild the store (delete the work dir) or run with the "
+                f"matching config.")
+        return
+    if store_exists:
+        raise RuntimeError(
+            f"signature store at {store_path} predates scheme versioning "
+            f"(no {SCHEME_STAMP}); signature values may be incompatible "
+            f"with the current implementation — rebuild the store, or "
+            f"stamp it manually after verifying the scheme matches.")
+    os.makedirs(work_dir, exist_ok=True)
+    with open(stamp_path, "w") as f:
+        json.dump(want, f, sort_keys=True)
 
 
 def match_new_against_store(new_sigs: DataFrame, store: DataFrame | None,
@@ -102,6 +157,7 @@ def incremental_dedup(spark: SparkSession, input_dir: str, work_dir: str,
     while the stream is stopped, never concurrently with an active
     micro-batch (``compact_store`` enforces this; see its docstring).
     """
+    check_scheme_stamp(work_dir, cfg)
     store_path = os.path.join(work_dir, SIG_STORE)
     pairs_path = os.path.join(work_dir, PAIRS_TABLE)
 

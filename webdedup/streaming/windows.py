@@ -25,8 +25,31 @@ state, no unbounded growth.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_UNIT_SECONDS = {
+    "week": 604800, "day": 86400, "hour": 3600, "minute": 60,
+    "second": 1, "millisecond": 1e-3, "microsecond": 1e-6,
+}
+
+
+def _interval_seconds(spec: str) -> float:
+    """Seconds in a Spark interval string like ``'1 hour'`` or
+    ``'1 hour 30 minutes'`` — the subset Spark's window() accepts."""
+    total, matched = 0.0, 0
+    for num, unit in re.findall(
+            r"(\d+(?:\.\d+)?)\s*([a-zA-Z]+)", spec):
+        unit = unit.lower().rstrip("s")
+        if unit not in _UNIT_SECONDS:
+            raise ValueError(f"unknown interval unit {unit!r} in {spec!r}")
+        total += float(num) * _UNIT_SECONDS[unit]
+        matched += 1
+    if matched == 0:
+        raise ValueError(f"cannot parse interval {spec!r}")
+    return total
 
 
 def window_dup_stats(enriched: DataFrame, window: str = "1 hour",
@@ -93,7 +116,20 @@ def sliding_window_dup_stats(enriched: DataFrame, window: str = "1 hour",
     Each page contributes to ``window/slide`` windows by design (that is
     what sliding means); dup_rate within a window counts every arrival.
     Works identically on a batch frame — the parity test pins it.
+
+    Raises ``ValueError`` when ``slide`` does not divide ``window``: the
+    level-2 re-window containment argument (a bucket's representative time
+    being inside a sliding window implying the WHOLE bucket is) only holds
+    for aligned buckets, and Spark would silently produce wrong per-window
+    distinct counts rather than fail.  The DuckDB twin asserts the same
+    (``oracle_sql.sliding_window_event_stats``).
     """
+    win_s, slide_s = _interval_seconds(window), _interval_seconds(slide)
+    n = round(win_s / slide_s) if slide_s > 0 else 0
+    if slide_s <= 0 or abs(n * slide_s - win_s) > 1e-9 or n < 1:
+        raise ValueError(
+            f"slide ({slide!r} = {slide_s}s) must evenly divide window "
+            f"({window!r} = {win_s}s)")
     per_hash = (
         enriched.withWatermark("warc_ts", watermark)
         .groupBy(F.window("warc_ts", slide).alias("w1"), "content_sha")
