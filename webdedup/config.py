@@ -38,6 +38,15 @@ class DedupConfig:
     #   golden recall gate pytest-covers it (test_pipeline_recall_tokmix).
     hash_scheme: str = "md5"
 
+    # --- extension registry (SURVEY §2.9; reference run_pipeline.py:133-159
+    # dynamic extractor import) --- named entries in functions.registry;
+    # swapping the extraction/tokenization scheme is a config string, not a
+    # code edit.  Defaults are the oracle-checked schemes; non-default
+    # choices change VALUES (documented in registry.py) and are covered by
+    # the determinism + recall contract tests instead of DuckDB twins.
+    extractor: str = "regex"
+    tokenizer: str = "whitespace"
+
     # --- SimHash (64-bit fingerprint + bit-sampling LSH) ---
     simhash_bits: int = 64
     hamming_threshold: int = 5
@@ -96,6 +105,12 @@ class DedupConfig:
 
     def __post_init__(self) -> None:
         assert self.hash_scheme in ("md5", "tokmix"), self.hash_scheme
+        # fail fast on unknown registry keys (lazy import: registry pulls
+        # in the extractor/tokenizer modules, which must not load config
+        # circularly at module import time)
+        from webdedup.functions import registry
+        registry.get_extractor(self.extractor)
+        registry.get_tokenizer(self.tokenizer)
         assert self.minhash_bands * self.minhash_rows == self.minhash_perms
         assert self.simhash_bits % self.simhash_bands == 0
         assert self.simhash_bands > self.hamming_threshold, (

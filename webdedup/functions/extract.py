@@ -37,21 +37,30 @@ def extract_text_py(html: bytes | None) -> str:
     return _WS_RE.sub(" ", s).strip()
 
 
-def extract_text_udf() -> Column:
+def extract_text_udf(extractor: str = "regex") -> Column:
+    """Arrow-batched extraction UDF for the NAMED extractor (functions.
+    registry — the reference's dynamic-import surface,
+    run_pipeline.py:133-159).  Default 'regex' is ``extract_text_py``."""
+    from webdedup.functions.registry import get_extractor
+
+    fn = get_extractor(extractor)
+
     @F.pandas_udf(StringType())
     def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         # iterator form: one Arrow batch at a time, constant memory
         for html in batches:
-            yield html.map(extract_text_py)
+            yield html.map(fn)
 
     return _udf
 
 
-def with_extracted_text(pages: DataFrame, out_col: str = "text") -> DataFrame:
+def with_extracted_text(pages: DataFrame, out_col: str = "text",
+                        extractor: str = "regex") -> DataFrame:
     """web_pages(url, warc_ts, html, ...) -> + extracted text column.
 
     Drops the html column afterwards so downstream stages never carry the
     binary payload through a shuffle (column pruning by construction — at
     100 TB the html column dominates and must die at the scan boundary).
     """
-    return pages.withColumn(out_col, extract_text_udf()(F.col("html"))).drop("html")
+    return pages.withColumn(
+        out_col, extract_text_udf(extractor)(F.col("html"))).drop("html")

@@ -34,14 +34,17 @@ from webdedup.functions.tokenize import shingles_py, tokenize_py
 _BITPOS = np.arange(64, dtype=np.uint64)
 
 
-def _simhash_of_text(text: str, cache: dict | None = None) -> int:
+def _simhash_of_text(text: str, cache: dict | None = None,
+                     tokenizer=tokenize_py) -> int:
     """64-bit SimHash of one document (term-frequency weighted bit vote).
 
     ``cache`` is an optional token->uint64 dict shared across one Arrow
     batch — word vocabularies repeat heavily within a batch, and a
     batch-scoped dict cannot poison reused workers the way a global
-    lru_cache does (see hashing.py note)."""
-    return _simhash_of_tokens(tokenize_py(text), cache)
+    lru_cache does (see hashing.py note).  ``tokenizer`` dispatches the
+    registry scheme (functions.registry); default = the oracle-checked
+    whitespace split."""
+    return _simhash_of_tokens(tokenizer(text), cache)
 
 
 def _simhash_of_tokens(toks: list[str], cache: dict | None = None) -> int:
@@ -71,13 +74,16 @@ def _simhash_of_tokens(toks: list[str], cache: dict | None = None) -> int:
     return hashing.to_signed64(int(fp))
 
 
-def simhash64_udf() -> Column:
+def simhash64_udf(tokenizer_name: str = "whitespace") -> Column:
     """pandas UDF factory: text:string -> simhash:long."""
+    from webdedup.functions.registry import get_tokenizer
+
+    tok = get_tokenizer(tokenizer_name)
 
     @F.pandas_udf(LongType())
     def _udf(texts: pd.Series) -> pd.Series:
         cache: dict = {}
-        return texts.map(lambda t: _simhash_of_text(t or "", cache))
+        return texts.map(lambda t: _simhash_of_text(t or "", cache, tok))
 
     return _udf
 
@@ -86,35 +92,43 @@ def simhash64_col(text: Column) -> Column:
     return simhash64_udf()(text)
 
 
+def _minhash_of_text(text: str, cfg: DedupConfig = DEFAULT,
+                     perms: tuple | None = None,
+                     tokenizer=tokenize_py) -> list[int]:
+    """Local (driver-side) twin of ``minhash_udf`` — IDENTICAL values, used
+    by the brute-force oracle and tests.  ``perms`` lets a caller hoist the
+    coefficient generation out of a loop.
+
+    ``sig_i = min over shingles s of (a_i * h32(s) + b_i) mod (2^61-1)``;
+    empty docs get the modulus (an impossible hash) at every position so
+    they never collide with real content.
+    """
+    a, b = (perms if perms is not None
+            else hashing.minhash_perms(cfg.minhash_perms, cfg.seed))
+    sh = shingles_py(tokenizer(text or ""), cfg.shingle_k)
+    if not sh:
+        return [int(hashing.MERSENNE61)] * cfg.minhash_perms
+    hs = np.fromiter((hashing.h32_py(s) for s in set(sh)), dtype=np.uint64)
+    # exact (a*h + b) mod p over the full 61-bit field — the rotate-based
+    # modmul (see hashing.perm_mod_p; the narrow-a formula let tiny h32
+    # values win every permutation, r5 fix)
+    vals = hashing.perm_mod_p(a, b, hs)
+    return [int(v) for v in vals.min(axis=1)]
+
+
 def minhash_udf(cfg: DedupConfig = DEFAULT) -> Column:
     """pandas UDF factory: text:string -> minhash signature array<long>.
 
-    ``sig_i = min over shingles s of (a_i * h32(s) + b_i) mod (2^61-1)``;
-    empty docs get the modulus (an impossible hash) at every position so they
-    never collide with real content.
+    Value semantics in ``_minhash_of_text`` (shared with the local oracle).
     """
-    a, b = hashing.minhash_perms(cfg.minhash_perms, cfg.seed)
-    p = np.uint64(hashing.MERSENNE61)
-    k = cfg.shingle_k
-    empty_sig = [int(p)] * cfg.minhash_perms
+    from webdedup.functions.registry import get_tokenizer
+
+    perms = hashing.minhash_perms(cfg.minhash_perms, cfg.seed)
+    tok = get_tokenizer(cfg.tokenizer)
 
     @F.pandas_udf(ArrayType(LongType()))
     def _udf(texts: pd.Series) -> pd.Series:
-        def sig(text: str) -> list[int]:
-            sh = shingles_py(tokenize_py(text or ""), k)
-            if not sh:
-                return empty_sig
-            hs = np.fromiter(
-                (hashing.h32_py(s) for s in set(sh)),
-                dtype=np.uint64,
-            )
-            # exact (a*h + b) mod p over the full 61-bit field — the
-            # rotate-based modmul (see hashing.perm_mod_p; the narrow-a
-            # formula let tiny h32 values win every permutation, r5 fix)
-            vals = hashing.perm_mod_p(a, b, hs)
-            return [int(v) for v in vals.min(axis=1)]
-
-        return texts.map(sig)
+        return texts.map(lambda t: _minhash_of_text(t, cfg, perms, tok))
 
     return _udf
 
@@ -222,15 +236,20 @@ def all_signatures(df, cfg: DedupConfig = DEFAULT,
     scheme = cfg.hash_scheme
     md5 = hashlib.md5
 
+    from webdedup.functions.registry import get_tokenizer
+
+    tokenizer = get_tokenizer(cfg.tokenizer)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from webdedup.functions.tokenize import shingles_py, tokenize_py
+        from webdedup.functions.tokenize import shingles_py
 
         for batch in batches:
             tok_cache: dict = {}
             out = {"id": [], "simhash": [], "minhash": [],
                    "shingles": [], "anchors": []}
             for rid, text in zip(batch[id_col], batch[text_col]):
-                toks = tokenize_py(text or "")  # Java-\s-equivalent split
+                toks = tokenizer(text or "")  # registry scheme; default =
+                # the Java-\s-equivalent whitespace split (oracle-checked)
                 # --- simhash (token-level, batch-scoped hash cache) ---
                 sh = _simhash_of_tokens(toks, tok_cache) if toks else 0
                 if scheme == "tokmix" and toks:

@@ -58,13 +58,16 @@ def shingle_sets(df: DataFrame, id_col: str = "doc_id",
             ).alias("shingles"),
         )
 
+    from webdedup.functions.registry import get_tokenizer
+
     k = cfg.shingle_k
+    tok = get_tokenizer(cfg.tokenizer)
 
     @F.pandas_udf(ArrayType(LongType()))
     def _udf(texts: pd.Series) -> pd.Series:
         def sh(text: str) -> list[int]:
             seen: dict[int, None] = {}
-            for s in shingles_py(tokenize_py(text or ""), k):
+            for s in shingles_py(tok(text or ""), k):
                 seen[h60_py(s)] = None
             return list(seen)  # first-occurrence order, duplicates dropped
 

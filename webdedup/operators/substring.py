@@ -56,13 +56,16 @@ def anchor_index(df: DataFrame, id_col: str = "doc_id",
             .select("id", F.explode("anchors").alias("anchor"))
         )
 
+    from webdedup.functions.registry import get_tokenizer
+
     K, mod = cfg.anchor_tokens, cfg.anchor_mod
+    tok = get_tokenizer(cfg.tokenizer)
 
     @F.pandas_udf(ArrayType(LongType()))
     def _udf(texts: pd.Series) -> pd.Series:
         def anchors(text: str) -> list[int]:
             seen: dict[int, None] = {}
-            for g in shingles_py(tokenize_py(text or ""), K):
+            for g in shingles_py(tok(text or ""), K):
                 h = h60_py(g)
                 if h % mod == 0:
                     seen[h] = None

@@ -32,14 +32,16 @@ def read_page_stream(spark: SparkSession, input_dir: str,
 
 
 def enrich_stream(pages: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
-    """html -> text -> content hash + simhash, streaming-safe projections."""
+    """html -> text -> content hash + simhash, streaming-safe projections.
+
+    Extractor/tokenizer are the cfg-named registry schemes (SURVEY §2.9)."""
     text = (F.col("text") if "text" in pages.columns
-            else extract_text_udf()(F.col("html")))
+            else extract_text_udf(cfg.extractor)(F.col("html")))
     return (
         pages.withColumn("text", text)
         .drop("html")
         .withColumn("content_sha", F.sha2(F.col("text"), 256))
-        .withColumn("simhash", simhash64_udf()(F.col("text")))
+        .withColumn("simhash", simhash64_udf(cfg.tokenizer)(F.col("text")))
     )
 
 
