@@ -40,6 +40,12 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--hamming-threshold", type=int, default=None)
     p.add_argument("--jaccard-threshold", type=float, default=None)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--simhash-confirm-jaccard", type=float, default=0.3,
+                   help="SimHash precision dial (pipeline default 0.3); "
+                        "pass a negative value to disable (pure "
+                        "hash+threshold semantics)")
+    p.add_argument("--simhash-confirm-mode", default="est",
+                   choices=["est", "exact"])
     return p.parse_args(argv)
 
 
@@ -71,10 +77,15 @@ def main(argv: list[str] | None = None) -> int:
         spark = SparkSession.builder.appName("webdedup-driver").getOrCreate()
 
     pages = spark.read.parquet(args.input)
+    confirm = (None if args.simhash_confirm_jaccard is not None
+               and args.simhash_confirm_jaccard < 0
+               else args.simhash_confirm_jaccard)
     result = pipeline.run(
         pages, args.work_dir, cfg=cfg, resume=args.resume,
         matchers=tuple(args.matchers.split(",")),
         simhash_scheme=args.simhash_scheme, id_col=args.id_col,
+        simhash_confirm_jaccard=confirm,
+        simhash_confirm_mode=args.simhash_confirm_mode,
     )
     summary = {
         "n_docs": result.stage_rows.get("documents"),

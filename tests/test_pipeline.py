@@ -44,10 +44,15 @@ def result(spark, pages, work_dir):
 
 def test_recall_gate(result, corpus_texts):
     """Dup-pair recall >= 0.99 vs the reference-semantics oracle (north_rule).
-    In practice the pipeline reproduces the oracle partition exactly."""
+    In practice the pipeline reproduces the oracle partition exactly.  The
+    oracle mirrors the pipeline's production default (SimHash est-mode
+    Jaccard confirmation at 0.3 — the r5-measured precision fix, default
+    since r6)."""
     got = {r["id"]: r["cluster_id"] for r in result.assignments.collect()}
     exp = oracle.union_find_clusters(
-        sorted(corpus_texts), oracle.all_matcher_pairs(corpus_texts, CFG))
+        sorted(corpus_texts), oracle.all_matcher_pairs(
+            corpus_texts, CFG, simhash_confirm_jaccard=0.3,
+            simhash_confirm_mode="est"))
 
     def pair_set(parts):
         out = set()

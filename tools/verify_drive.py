@@ -23,12 +23,23 @@ work = tempfile.mkdtemp(prefix="verify_")
 try:
     truth = spark.createDataFrame(
         [(a, b) for a, b, _ in corpus.golden_pairs(42, 50)], "a string, b string")
-    # default mode IS exact-verify now (fast-accept is opt-in): one run
-    # gives both the recall gate / report shape AND bit-exact partition
-    # equality vs the brute-force oracle
+    # default mode = exact minhash verify + SimHash est-confirmation at 0.3
+    # (r6: the measured-free precision fix is the default): one run gives
+    # both the recall gate / report shape AND bit-exact partition equality
+    # vs the brute-force oracle WITH the same confirmation applied
     res = pipeline.run(pages, work, cfg=CFG, resume=False, truth_pairs=truth)
     rep = {r["metric"]: r["value"] for r in res.report.collect()}
     got = {r["id"]: r["cluster_id"] for r in res.assignments.collect()}
+    # OFF switch keeps the reference's pure hash+threshold semantics
+    work3 = tempfile.mkdtemp(prefix="verify_off_")
+    try:
+        res3 = pipeline.run(pages, work3, cfg=CFG, resume=False,
+                            record_metrics=False,
+                            simhash_confirm_jaccard=None)
+        got_off = {r["id"]: r["cluster_id"]
+                   for r in res3.assignments.collect()}
+    finally:
+        shutil.rmtree(work3, ignore_errors=True)
     # opt-in stratified fast-accept mode: recall-only gate (may ADD 3σ-tail
     # near-threshold pairs, never lose one)
     work2 = tempfile.mkdtemp(prefix="verify_fast_")
@@ -39,9 +50,16 @@ try:
     finally:
         shutil.rmtree(work2, ignore_errors=True)
     exp = oracle.union_find_clusters(
-        sorted(texts), oracle.all_matcher_pairs(texts, CFG))
+        sorted(texts), oracle.all_matcher_pairs(
+            texts, CFG, simhash_confirm_jaccard=0.3,
+            simhash_confirm_mode="est"))
     gp, ep = partitions(got), partitions(exp)
-    print("partitions equal (exact default):", gp == ep)
+    print("partitions equal (confirmed default):", gp == ep)
+    exp_off = oracle.union_find_clusters(
+        sorted(texts), oracle.all_matcher_pairs(texts, CFG))
+    gp_off, ep_off = partitions(got_off), partitions(exp_off)
+    print("partitions equal (confirm off):", gp_off == ep_off)
+    assert gp_off == ep_off, "OFF-SWITCH PARTITION MISMATCH"
     # fast-accept can only coarsen the partition (extra 3σ-tail edges merge
     # clusters; an exact-mode cluster can never be split apart)
     coarser = all(

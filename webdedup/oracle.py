@@ -90,11 +90,62 @@ def substring_pairs(docs: dict[str, str], cfg: DedupConfig = DEFAULT,
     return out
 
 
+def minhash_signatures_local(docs: dict[str, str],
+                             cfg: DedupConfig = DEFAULT) -> dict[str, list[int]]:
+    """id -> 128-perm MinHash signature, value-identical to the engine's
+    (shared implementation: ``signatures._minhash_of_text``)."""
+    from webdedup.functions.hashing import minhash_perms
+    from webdedup.functions.signatures import _minhash_of_text
+
+    perms = minhash_perms(cfg.minhash_perms, cfg.seed)
+    return {i: _minhash_of_text(t, cfg, perms) for i, t in docs.items()}
+
+
+def est_jaccard_local(sig_a: list[int], sig_b: list[int]) -> float:
+    """The signature-estimate Jaccard (fraction of agreeing positions) —
+    the reference's re-rank metric (minhash_search.py:81-83)."""
+    return sum(x == y for x, y in zip(sig_a, sig_b)) / len(sig_a)
+
+
+def confirmed_simhash_pairs(docs: dict[str, str], cfg: DedupConfig = DEFAULT,
+                            confirm_jaccard: float | None = 0.3,
+                            confirm_mode: str = "est") -> set[Pair]:
+    """SimHash pairs that ALSO clear the Jaccard confirmation — the local
+    twin of the pipeline's default simhash matcher (precision dial, r5):
+    'est' confirms with the signature estimate, 'exact' with exact shingle
+    Jaccard."""
+    pairs = simhash_pairs(docs, cfg)
+    if confirm_jaccard is None:
+        return pairs
+    if confirm_mode == "est":
+        sigs = minhash_signatures_local(docs, cfg)
+        return {(a, b) for a, b in pairs
+                if est_jaccard_local(sigs[a], sigs[b]) >= confirm_jaccard}
+    if confirm_mode == "exact":
+        from webdedup.functions.tokenize import shingles_py, tokenize_py
+        sets = {i: set(shingles_py(tokenize_py(t), cfg.shingle_k))
+                for i, t in docs.items()}
+        out = set()
+        for a, b in pairs:
+            u = len(sets[a] | sets[b])
+            if u and len(sets[a] & sets[b]) / u >= confirm_jaccard:
+                out.add((a, b))
+        return out
+    raise ValueError(confirm_mode)
+
+
 def all_matcher_pairs(docs: dict[str, str],
-                      cfg: DedupConfig = DEFAULT) -> set[Pair]:
+                      cfg: DedupConfig = DEFAULT,
+                      simhash_confirm_jaccard: float | None = None,
+                      simhash_confirm_mode: str = "est") -> set[Pair]:
+    """Union of the four matchers.  Pass
+    ``simhash_confirm_jaccard=0.3, simhash_confirm_mode='est'`` to mirror
+    the pipeline's production default (the SimHash precision dial);
+    ``None`` mirrors the pure hash+threshold semantics."""
     return (
         exact_pairs(docs)
-        | simhash_pairs(docs, cfg)
+        | confirmed_simhash_pairs(docs, cfg, simhash_confirm_jaccard,
+                                  simhash_confirm_mode)
         | jaccard_pairs(docs, cfg.jaccard_threshold, cfg)
         | substring_pairs(docs, cfg)
     )

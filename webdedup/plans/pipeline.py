@@ -45,8 +45,8 @@ def run(
     record_metrics: bool = True,
     truth_pairs: DataFrame | None = None,
     minhash_fast_accept: float | None | str = None,
-    simhash_confirm_jaccard: float | None = None,
-    simhash_confirm_mode: str = "exact",
+    simhash_confirm_jaccard: float | None = 0.3,
+    simhash_confirm_mode: str = "est",
 ) -> PipelineResult:
     """pages: web_pages-shaped input (url, warc_ts, html[, text], lang).
 
@@ -73,38 +73,39 @@ def run(
     when the exact verify is the measured bottleneck and the consumer
     tolerates estimate-valued scores.
 
-    ``simhash_confirm_jaccard``: optional precision dial for the SimHash
-    matcher.  64-bit SimHash over stopword-heavy bags pulls UNRELATED
-    short/low-entropy docs within the Hamming threshold (the measured
-    250k mega-cluster: 2,900 cross-group Hamming<=5 edges chain a
-    4,748-member component, BENCH.md r5 — the known precision floor that
-    makes Manku et al. run h=3 at web scale).  When set, every SimHash
-    edge must ALSO clear exact shingle Jaccard >= this value (one
-    restricted ``jaccard_verify`` over the edge list — cheap: edges are
-    ~0.05% of doc pairs).  Planted near-dup variants are 1-2 token edits
-    with Jaccard ~0.9, so a low confirmation (0.2-0.3) removes the
-    stopword-mass collisions without touching real dups — measured at
-    250k: max cluster 4,748 -> (see BENCH.md), planted recall unchanged.
-    The filter applies to the STAR-COLLAPSED edge list ``simhash_edges``
-    emits (every surviving edge is individually Hamming-AND-Jaccard
-    verified); an identical-fingerprint class therefore re-splits by each
-    member's overlap with the class representative — which is the point:
-    identical fingerprints over different token sets ARE the collision
-    being removed.  ``None`` (default) keeps the reference's pure
-    hash+threshold semantics, which every oracle row checks.
+    ``simhash_confirm_jaccard``: precision dial for the SimHash matcher,
+    ON by default at 0.3 (r5 measured it at 250k: precision 0.027 -> 1.0,
+    recall 1.0, zero stage cost in 'est' mode — VERDICT r5 #2 flipped it
+    to the default).  64-bit SimHash over stopword-heavy bags pulls
+    UNRELATED short/low-entropy docs within the Hamming threshold (the
+    measured 250k mega-cluster: 2,900 cross-group Hamming<=5 edges chain
+    a 4,748-member component, BENCH.md r5 — the known precision floor
+    that makes Manku et al. run h=3 at web scale).  When set, every
+    SimHash edge must ALSO clear shingle Jaccard >= this value.  Planted
+    near-dup variants are 1-2 token edits with Jaccard ~0.9, so a low
+    confirmation (0.2-0.3) removes the stopword-mass collisions without
+    touching real dups.  The filter applies to the STAR-COLLAPSED edge
+    list ``simhash_edges`` emits (every surviving edge is individually
+    Hamming-AND-Jaccard verified); an identical-fingerprint class
+    therefore re-splits by each member's overlap with the class
+    representative — which is the point: identical fingerprints over
+    different token sets ARE the collision being removed.  ``None`` is
+    the OFF switch: the reference's pure hash+threshold semantics, which
+    every oracle row checks (the local oracle mirrors both settings —
+    ``oracle.all_matcher_pairs(simhash_confirm_jaccard=...)``).
 
-    ``simhash_confirm_mode``: ``'exact'`` (default) confirms with exact
-    exploded-shingle Jaccard (measured +60 s at 250k/4 cores — the
-    shingle join over every edge endpoint).  ``'est'`` confirms with the
-    128-perm SIGNATURE estimate instead (one ``zip_with`` over the
+    ``simhash_confirm_mode``: ``'est'`` (default) confirms with the
+    128-perm SIGNATURE estimate (one ``zip_with`` over the
     already-materialized minhash column — the same re-rank metric as
     ``minhash_search.py:81-83``): unbiased, σ = sqrt(J(1-J)/128) ≈ 0.04,
     so collisions (J ≲ 0.1) and real near-dup edits (J ≳ 0.5) are both
     >3σ from a 0.3 cutoff — deterministic per corpus, near-free, and the
     right default at 10^12 docs where the exact confirm would re-shuffle
-    every edge endpoint's shingle set.  Borderline pairs within ±3σ of
-    the cutoff can flip vs 'exact' (the pytest contract pins the two
-    modes' agreement outside that band).
+    every edge endpoint's shingle set.  ``'exact'`` confirms with exact
+    exploded-shingle Jaccard instead (measured +60 s at 250k/4 cores —
+    the shingle join over every edge endpoint).  Borderline pairs within
+    ±3σ of the cutoff can flip between modes (the pytest contract pins
+    the two modes' agreement outside that band).
     """
     spark = pages.sparkSession
     times: dict[str, float] = {}
@@ -141,7 +142,7 @@ def run(
     if "text" in pages.columns:
         docs0 = pages.select(F.col(id_col).alias("url"), "text")
     else:
-        docs0 = with_extracted_text(pages).select(
+        docs0 = with_extracted_text(pages, extractor=cfg.extractor).select(
             F.col(id_col).alias("url"), "text")
     docs = stage(
         "documents",
