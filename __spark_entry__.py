@@ -446,6 +446,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # md5-sampled centroids make it deterministic => oracle-checked too
     q["ivf_cosine_pairs"] = lambda s, d: similarity.ivf_cosine_pairs(
         _emb(s, d), threshold=0.3, k_centroids=16, nprobe=2)
+    # TRAINED quantizer variant (faiss trains k-means centroids,
+    # faiss_search.py:10-38): two deterministic Lloyd iterations refine the
+    # sampled seeds — exact decimal-domain means keep it oracle-checkable
+    # where real k-means (float sum order) is not.  Balance gain measured
+    # in BENCH.md §ivf-lloyd.
+    q["ivf_lloyd_cosine_pairs"] = lambda s, d: similarity.ivf_cosine_pairs(
+        _emb(s, d), threshold=0.3, k_centroids=16, nprobe=2, lloyd_iters=2)
     # third ANN index type (the reference's hnsw slot): two-level IVF —
     # coarse-to-fine navigation as two broadcast joins, deterministic and
     # oracle-checked where a stochastic graph index never is
@@ -529,6 +536,8 @@ def oracle_sql() -> dict[str, str]:
             probe_bits=CFG.hyperplane_probe_bits),
         "ivf_cosine_pairs": oracle_sql_mod.ivf_cosine_pairs(
             0.3, k_centroids=16, nprobe=2),
+        "ivf_lloyd_cosine_pairs": oracle_sql_mod.ivf_lloyd_cosine_pairs(
+            0.3, k_centroids=16, nprobe=2, iters=2),
         "ivf2_cosine_pairs": oracle_sql_mod.ivf2_cosine_pairs(
             0.3, k1=8, k2=4, nprobe1=2, nprobe2=2),
         "ann_topk": oracle_sql_mod.ann_topk(

@@ -62,6 +62,52 @@ def test_vector_signature_identical_vectors_collide(spark):
     assert got[1] != got[3], "antipodal vector -> complement signature"
 
 
+def test_ivf_lloyd_refinement(spark):
+    """Deterministic Lloyd quantizer training (r5 VERDICT #4): refined
+    assignments are partition-invariant (the decimal-domain mean is order-
+    independent) and the k-means objective improves — within-list scatter
+    (SSW, the objective evaluated at each list's own mean, computable from
+    the assignment alone) is monotonically non-increasing under Lloyd, and
+    strictly better here where the md5 seeds start far from the cluster
+    structure.  (List BALANCE is data-dependent — Lloyd can settle in a
+    local optimum with two seeds sharing a true cluster — so the measured
+    balance story lives in BENCH.md §ivf-lloyd, not in an assertion.)"""
+    rng = np.random.RandomState(7)
+    centers = rng.randn(4, 8) * 6
+    rows = []
+    for i in range(200):
+        c = i % 4
+        rows.append((i, (centers[c] + rng.randn(8) * 0.5).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    vecs = {i: np.array(v) for i, v in rows}
+
+    def lists(lloyd, par):
+        a = similarity.ivf_assignments(
+            df.repartition(par), k_centroids=4, nprobe=1, lloyd_iters=lloyd)
+        return {r["id"]: r["cid"] for r in
+                a.filter(F.col("rank") == 1).select("id", "cid").collect()}
+
+    raw = lists(0, 4)
+    ref_a, ref_b = lists(2, 4), lists(2, 7)
+    assert ref_a == ref_b, "Lloyd refinement must be partition-invariant"
+
+    def ssw(asg):
+        from collections import defaultdict
+        members = defaultdict(list)
+        for i, cid in asg.items():
+            members[cid].append(vecs[i])
+        total = 0.0
+        for vs in members.values():
+            X = np.stack(vs)
+            total += ((X - X.mean(axis=0)) ** 2).sum()
+        return total
+
+    assert ref_a != raw, "2 iterations must move at least one assignment"
+    assert ssw(ref_a) < ssw(raw), (
+        f"Lloyd must reduce within-list scatter: raw {ssw(raw):.1f} "
+        f"-> refined {ssw(ref_a):.1f}")
+
+
 def test_multimodal_decode_plumbing(spark):
     rows = [(i, bytes([i]) * (100 + i), "image") for i in range(20)]
     rows.append((99, rows[0][1], "image"))  # exact payload dup of media 0
@@ -73,6 +119,50 @@ def test_multimodal_decode_plumbing(spark):
     assert r0["n_bytes"] == 100 and len(r0["feature"]) == multimodal.FEATURE_DIM
     dups = multimodal.media_exact_dups(meta).collect()
     assert len(dups) == 1 and dups[0]["n_members"] == 2
+
+
+def test_multimodal_decoder_dispatch(spark):
+    """decoder= kernel selection (r5 VERDICT #6): unknown name and
+    pil-without-Pillow fail at PLAN time; 'auto' falls back to the stub
+    bit-identically when PIL is absent."""
+    df = spark.createDataFrame(
+        [(1, b"abc" * 40)], "media_id long, payload binary")
+    with pytest.raises(ValueError, match="unknown decoder"):
+        multimodal.decode_media(df, decoder="nope")
+    if not multimodal.have_pil():
+        with pytest.raises(ImportError, match="Pillow"):
+            multimodal.decode_media(df, decoder="pil")
+    stub = multimodal.decode_media(df, decoder="stub").collect()
+    auto = multimodal.decode_media(df, decoder="auto").collect()
+    if not multimodal.have_pil():
+        assert stub == auto
+
+
+@pytest.mark.skipif(not multimodal.have_pil(),
+                    reason="Pillow not installed in this container")
+def test_multimodal_real_pil_decode(spark):
+    """REAL decode path (runs only where Pillow exists): true dimensions
+    from an actual encoded PNG; corrupt payloads fall back to the stub
+    instead of failing the task."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 17), color=(200, 10, 10)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, png), (2, b"not an image at all")],
+        "media_id long, payload binary")
+    got = {r["media_id"]: r
+           for r in multimodal.decode_media(df, decoder="pil").collect()}
+    assert (got[1]["width"], got[1]["height"]) == (32, 17)
+    assert len(got[1]["feature"]) == multimodal.FEATURE_DIM
+    # near-uniform red image -> near-constant grayscale thumbnail
+    f = got[1]["feature"]
+    assert max(f) - min(f) < 1e-3
+    w, h, feat = multimodal._decode_stub(b"not an image at all")
+    assert (got[2]["width"], got[2]["height"]) == (w, h)
 
 
 def test_multimodal_frame_sample_and_pooling(spark):

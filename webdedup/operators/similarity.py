@@ -347,9 +347,55 @@ def vector_signatures(df: DataFrame, id_col: str = "vec_id",
 # IVF — the second ANN index type (faiss IndexIVFFlat analog)
 # ---------------------------------------------------------------------------
 
+def _lloyd_step(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """One DETERMINISTIC Lloyd (k-means) iteration over broadcastable
+    centroids: assign each vector to its nearest centroid ((rounded-d2,
+    cid) rank — the ``ivf_assignments`` tie-break), then recompute each
+    centroid as its members' element-wise mean.
+
+    The mean must be ORDER-INDEPENDENT to stay DuckDB-twinnable (Spark's
+    float sum order is nondeterministic across partitionings): each element
+    is cast to ``decimal(27,6)`` (6dp captures every stored float32's
+    information at embedding magnitude ~1) and summed EXACTLY in the
+    decimal domain, then ``round(sum::double / n, 6)`` — bit-identical in
+    any engine, any partitioning.  A centroid with no members (possible
+    only via duplicate vectors — every centroid is a corpus vector at
+    distance 0 from itself) keeps its previous position.  cid labels are
+    STABLE across iterations (the seed vector's id), so downstream
+    list/probe semantics and the oracle twin key on the same labels.
+    """
+    dist2 = F.aggregate(
+        F.zip_with("vec", "cvec",
+                   lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy("id").orderBy(F.asc("_d2"), F.asc("cid"))
+    assign = (v.crossJoin(F.broadcast(cents))
+              .withColumn("_d2", F.round(dist2, 6))
+              .withColumn("_rk", F.row_number().over(w))
+              .filter(F.col("_rk") == 1)
+              .select("cid", "vec"))
+    means = (assign.select("cid", F.posexplode("vec").alias("dim", "x"))
+             .groupBy("cid", "dim")
+             .agg(F.round(
+                 F.sum(F.col("x").cast("decimal(27,6)")).cast("double")
+                 / F.count(F.lit(1)), 6).alias("m"))
+             .groupBy("cid")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                 lambda s: s["m"]).alias("mvec")))
+    return (cents.join(means, "cid", "left")
+            .select("cid",
+                    F.coalesce(
+                        "mvec",
+                        F.transform("cvec", lambda x: x.cast("double"))
+                    ).alias("cvec")))
+
+
 def ivf_assignments(df: DataFrame, id_col: str = "vec_id",
                     vec_col: str = "embedding",
-                    k_centroids: int = 16, nprobe: int = 2) -> DataFrame:
+                    k_centroids: int = 16, nprobe: int = 2,
+                    lloyd_iters: int = 0) -> DataFrame:
     """(id, vec, rank, cid): each vector's ``nprobe`` nearest centroids.
 
     The index-type dial next to the hyperplane LSH scheme — reference
@@ -363,6 +409,18 @@ def ivf_assignments(df: DataFrame, id_col: str = "vec_id",
     deterministic.  rank=1 is the storage list; ranks 1..nprobe are the
     probe lists.
 
+    ``lloyd_iters`` (r5 VERDICT #4 — the reference TRAINS its quantizer,
+    ``faiss_search.py:10-38``): that many deterministic Lloyd iterations
+    refine the md5-sampled seeds toward actual cluster centers before the
+    final assignment (``_lloyd_step``: exact decimal-domain means, stable
+    cid labels).  0 (default) keeps the pure sampled quantizer every
+    existing oracle row pins; 1-2 iterations measurably flatten list sizes
+    (BENCH.md §ivf-lloyd), which is what FAISS training buys — balanced
+    lists mean balanced probe cost at fixed nprobe.  Each iteration is one
+    broadcast-join pass over the corpus plus a k·dim-row aggregate — at
+    10^12 docs run the iterations on a deterministic sample instead (same
+    operator shape; the mean is then over the sample).
+
     At 10^12 docs: k_centroids scales to ~sqrt(n) lists, the centroid table
     stays broadcastable (k·dim floats), assignment stays a map-side
     broadcast join, and each vector shuffles to exactly one list — the
@@ -373,6 +431,11 @@ def ivf_assignments(df: DataFrame, id_col: str = "vec_id",
     cents = (v.withColumn("_h", F.md5(F.col("id").cast("string")))
              .orderBy("_h", "id").limit(k_centroids)
              .select(F.col("id").alias("cid"), F.col("vec").alias("cvec")))
+    for _ in range(lloyd_iters):
+        # localCheckpoint: the refined table is tiny (k rows) but its
+        # lineage holds a full corpus pass per iteration — truncate so the
+        # final assignment plan doesn't recompute every iteration twice
+        cents = _lloyd_step(v, cents).localCheckpoint(eager=False)
     dist2 = F.aggregate(
         F.zip_with("vec", "cvec",
                    lambda x, y: (x.cast("double") - y.cast("double"))
@@ -549,13 +612,16 @@ def ann_topk(df: DataFrame, id_col: str = "vec_id",
 def ivf_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
                      vec_col: str = "embedding",
                      threshold: float = 0.9,
-                     k_centroids: int = 16, nprobe: int = 2) -> DataFrame:
+                     k_centroids: int = 16, nprobe: int = 2,
+                     lloyd_iters: int = 0) -> DataFrame:
     """(a, b, cosine): IVF-pruned exact-cosine pairs — candidates are pairs
     where one side's ``nprobe`` probe lists contain the other side's
     STORAGE list (rank-1 centroid), mirroring a faiss IVF query over every
     corpus vector.  Verification joins vectors back by id (narrow candidate
-    rows through the dedup, the ``lsh_cosine_pairs`` plan shape)."""
-    assign = ivf_assignments(df, id_col, vec_col, k_centroids, nprobe)
+    rows through the dedup, the ``lsh_cosine_pairs`` plan shape).
+    ``lloyd_iters`` trains the quantizer (see ``ivf_assignments``)."""
+    assign = ivf_assignments(df, id_col, vec_col, k_centroids, nprobe,
+                             lloyd_iters)
     assign = assign.localCheckpoint(eager=False)  # probe + storage + vectors
     probe = assign.select(F.col("id").alias("a"), "cid")
     store = assign.filter(F.col("rank") == 1).select(

@@ -713,6 +713,77 @@ WHERE round(list_sum(list_transform(range(len(x.vec)), i -> x.vec[i+1] * y.vec[i
 """
 
 
+def ivf_lloyd_cosine_pairs(threshold: float, k_centroids: int = 16,
+                           nprobe: int = 2, iters: int = 2) -> str:
+    """Twin of ``similarity.ivf_cosine_pairs(lloyd_iters=iters)``: the
+    md5-sampled seeds refined by ``iters`` unrolled Lloyd steps before the
+    final assignment.  The per-dimension mean is computed EXACTLY in the
+    decimal domain (``sum(CAST(x AS DECIMAL(27,6)))`` — order-independent)
+    then ``round(sum::double / n, 6)``, matching ``similarity._lloyd_step``
+    bit for bit; empty lists keep the previous centroid via the LEFT JOIN
+    COALESCE, and cid labels stay the seed ids in both engines."""
+    d2 = ("round(list_sum(list_transform(range(len(v.vec)), "
+          "j -> (v.vec[j+1] - c.cvec[j+1]) * (v.vec[j+1] - c.cvec[j+1]))), 6)")
+    steps = []
+    for i in range(iters):
+        steps.append(f"""
+asg_{i} AS (
+  SELECT cid, vec FROM (
+    SELECT v.vec, c.cid,
+           row_number() OVER (PARTITION BY v.id
+                              ORDER BY {d2} ASC, c.cid ASC) AS rk
+    FROM v CROSS JOIN cents_{i} c)
+  WHERE rk = 1
+),
+md_{i} AS (
+  SELECT cid, u.dim AS dim,
+         round(CAST(sum(CAST(u.x AS DECIMAL(27,6))) AS DOUBLE)
+               / count(*), 6) AS m
+  FROM (SELECT cid,
+               unnest(list_transform(range(len(vec)),
+                      j -> struct_pack(dim := j, x := vec[j+1]))) AS u
+        FROM asg_{i})
+  GROUP BY cid, u.dim
+),
+ml_{i} AS (SELECT cid, list(m ORDER BY dim) AS mvec FROM md_{i} GROUP BY cid),
+cents_{i + 1} AS (
+  SELECT c.cid, COALESCE(m.mvec, c.cvec) AS cvec
+  FROM cents_{i} c LEFT JOIN ml_{i} m USING (cid)
+)""")
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS vec
+  FROM embeddings
+),
+cents_0 AS (
+  SELECT id AS cid, vec AS cvec FROM v
+  ORDER BY md5(id::VARCHAR), id LIMIT {k_centroids}
+),{",".join(steps)},
+ranked AS (
+  SELECT id, cid,
+         row_number() OVER (PARTITION BY id ORDER BY d2 ASC, cid ASC) AS rank
+  FROM (
+    SELECT v.id, c.cid, {d2} AS d2
+    FROM v CROSS JOIN cents_{iters} c)
+),
+cand AS (
+  SELECT DISTINCT least(p.id, s.id) AS a, greatest(p.id, s.id) AS b
+  FROM (SELECT id, cid FROM ranked WHERE rank <= {nprobe}) p
+  JOIN (SELECT id, cid FROM ranked WHERE rank = 1) s ON p.cid = s.cid
+  WHERE p.id <> s.id
+),
+n AS (
+  SELECT id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm FROM v
+)
+SELECT c.a, c.b,
+       round(list_sum(list_transform(range(len(x.vec)), i -> x.vec[i+1] * y.vec[i+1]))
+             / (x.nrm * y.nrm), 6) AS cosine
+FROM cand c JOIN n x ON x.id = c.a JOIN n y ON y.id = c.b
+WHERE round(list_sum(list_transform(range(len(x.vec)), i -> x.vec[i+1] * y.vec[i+1]))
+            / (x.nrm * y.nrm), 6) >= {threshold}
+"""
+
+
 def ivf2_cosine_pairs(threshold: float, k1: int = 8, k2: int = 4,
                       nprobe1: int = 2, nprobe2: int = 2) -> str:
     """Twin of ``similarity.ivf2_cosine_pairs``: two-level IVF (the HNSW
