@@ -24,6 +24,10 @@ of appending duplicates, giving effectively-once output on top of the
 checkpointed source offsets (the parquet stand-in for an Iceberg
 ``MERGE``/``overwritePartitions`` commit).
 
+Store reads resolve through a COMMITTED MANIFEST (``_store_manifest.json``,
+r6) instead of directory listings, so compaction can run concurrently with
+an active stream — see the manifest section below.
+
 At 10^12-doc scale the store's band table is the thing to materialize
 (bucketed by ``(table_id, band_key)``) so each micro-batch probe is a
 bucket-pruned join; here the store is re-banded per batch, which is the
@@ -42,8 +46,135 @@ from webdedup.operators import simhash_lsh
 from webdedup.streaming.ingest import enrich_stream, read_page_stream
 
 SIG_STORE = "sig_store.parquet"
+SIG_STORE_BASE = "sig_store_base"
 PAIRS_TABLE = "incremental_pairs.parquet"
 SCHEME_STAMP = "_sig_scheme.json"
+MANIFEST = "_store_manifest.json"
+MANIFEST_LOCK = "_store_manifest.lock"
+
+
+# ---------------------------------------------------------------------------
+# Committed-file manifest (r5 VERDICT #5): the parquet stand-in for an
+# Iceberg snapshot.  Readers resolve the signature store through the
+# manifest — an atomically-replaced JSON naming exactly the batch partition
+# dirs + compacted base table that constitute the current snapshot — never
+# through a directory listing.  That closes the lazy-listing race that
+# previously forced ``compact_store`` to refuse while a stream was active:
+# a reader pins its file set at manifest-load time, and compaction defers
+# physical deletion of dereferenced files by one generation
+# (``grace_generations``), so any reader holding the previous snapshot
+# still finds every file it pinned.  Single maintenance writer assumed
+# (one driver coordinates stream + compaction; the lock file serializes
+# manifest mutations between the micro-batch thread and a compaction
+# thread in that driver — cross-driver coordination is what a real
+# catalog/Iceberg commit provides).
+# ---------------------------------------------------------------------------
+
+
+def _manifest_paths(work_dir: str) -> tuple[str, str]:
+    return (os.path.join(work_dir, MANIFEST),
+            os.path.join(work_dir, MANIFEST_LOCK))
+
+
+class _manifest_lock:
+    """O_CREAT|O_EXCL lock file with bounded retry — serializes manifest
+    read-modify-write between the foreachBatch thread and a compaction."""
+
+    def __init__(self, work_dir: str, timeout_sec: float = 30.0):
+        self.path = _manifest_paths(work_dir)[1]
+        self.timeout = timeout_sec
+
+    def __enter__(self):
+        import time as _t
+        deadline = _t.monotonic() + self.timeout
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                return self
+            except FileExistsError:
+                if _t.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"store manifest lock held too long: {self.path} "
+                        f"(stale? delete it if no compaction/stream is "
+                        f"running)")
+                _t.sleep(0.05)
+
+    def __exit__(self, *exc):
+        try:
+            os.remove(self.path)
+        except FileNotFoundError:
+            pass
+
+
+def _empty_manifest() -> dict:
+    return {"generation": 0, "batches": {}, "base": None, "tombstones": []}
+
+
+def load_manifest(work_dir: str) -> dict:
+    """Current manifest; migrates a pre-manifest store (directory listing
+    of ``_batch_id=`` partitions — including a legacy compacted ``-1``)
+    into manifest form WITHOUT writing, so pure readers stay read-only."""
+    import json
+
+    mpath = _manifest_paths(work_dir)[0]
+    if os.path.isfile(mpath):
+        with open(mpath) as f:
+            return json.load(f)
+    man = _empty_manifest()
+    store_path = os.path.join(work_dir, SIG_STORE)
+    if os.path.isdir(store_path):
+        for d in os.listdir(store_path):
+            if d.startswith("_batch_id="):
+                man["batches"][d.split("=", 1)[1]] = f"{SIG_STORE}/{d}"
+    return man
+
+
+def _write_manifest(work_dir: str, man: dict) -> None:
+    import json
+
+    mpath = _manifest_paths(work_dir)[0]
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f, sort_keys=True)
+    os.replace(tmp, mpath)  # atomic: readers see old or new, never partial
+
+
+def _mutate_manifest(work_dir: str, fn) -> dict:
+    """Locked read-modify-write; ``fn(man) -> man`` must be pure."""
+    with _manifest_lock(work_dir):
+        man = fn(load_manifest(work_dir))
+        _write_manifest(work_dir, man)
+        return man
+
+
+def read_store(spark: SparkSession, work_dir: str,
+               exclude_batch_id: int | None = None,
+               manifest: dict | None = None) -> DataFrame | None:
+    """The store snapshot as (id, simhash, _batch_id), resolved through the
+    manifest (no directory listing).  ``exclude_batch_id`` drops the
+    in-flight batch's own partition (replay safety).  Returns None when the
+    snapshot is empty."""
+    man = manifest if manifest is not None else load_manifest(work_dir)
+    dirs = [os.path.join(work_dir, rel) for bid, rel in man["batches"].items()
+            if exclude_batch_id is None or int(bid) != exclude_batch_id]
+    frames = []
+    if dirs:
+        frames.append(
+            spark.read.option("basePath", os.path.join(work_dir, SIG_STORE))
+            .parquet(*sorted(dirs))
+            .select("id", "simhash", F.col("_batch_id").cast("long")))
+    if man["base"]:
+        frames.append(
+            spark.read.parquet(os.path.join(work_dir, man["base"]))
+            .select("id", "simhash",
+                    F.lit(-1).cast("long").alias("_batch_id")))
+    if not frames:
+        return None
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out
 
 
 def _scheme_stamp(cfg: DedupConfig) -> dict:
@@ -73,9 +204,8 @@ def check_scheme_stamp(work_dir: str, cfg: DedupConfig = DEFAULT) -> None:
 
     want = _scheme_stamp(cfg)
     stamp_path = os.path.join(work_dir, SCHEME_STAMP)
-    store_path = os.path.join(work_dir, SIG_STORE)
-    store_exists = os.path.isdir(store_path) and any(
-        f.startswith("_batch_id=") for f in os.listdir(store_path))
+    man = load_manifest(work_dir)
+    store_exists = bool(man["batches"] or man["base"])
     if os.path.isfile(stamp_path):
         with open(stamp_path) as f:
             have = json.load(f)
@@ -164,27 +294,23 @@ def incremental_dedup(spark: SparkSession, input_dir: str, work_dir: str,
     enriched = enrich_stream(
         read_page_stream(spark, input_dir, max_files_per_trigger), cfg)
 
-    def _store_ready() -> bool:
-        # the dynamic-partition-overwrite committer moves finished partition
-        # dirs into place but writes NO root _SUCCESS marker — probe for
-        # committed partitions instead (an Iceberg snapshot lookup in prod)
-        return os.path.isdir(store_path) and any(
-            f.startswith("_batch_id=") for f in os.listdir(store_path))
-
     def process(batch_df: DataFrame, batch_id: int) -> None:
         new_sigs = (batch_df.select(F.col("url").alias("id"), "simhash")
                     .dropDuplicates(["id"])  # a url drop-dir can repeat urls
                     .localCheckpoint(eager=True))  # one UDF pass per batch
         store = None
-        if _store_ready():
+        # manifest snapshot pins the exact store files this batch reads —
+        # a concurrent compaction can commit a new snapshot + defer-delete
+        # without racing this scan.  Exclude the CURRENT batch's partition
+        # (a replayed micro-batch whose store write committed but whose
+        # checkpoint commit failed would otherwise verify against its own
+        # half-written output); keep one signature per id — latest batch
+        # wins (the compacted base sorts below every real batch at -1).
+        snap = read_store(spark, work_dir, exclude_batch_id=batch_id)
+        if snap is not None:
             from pyspark.sql import Window
-            # exclude the CURRENT batch's partition (a replayed micro-batch
-            # whose store write committed but whose checkpoint commit failed
-            # would otherwise verify against its own half-written output),
-            # and keep one signature per id — the latest batch wins
             w = Window.partitionBy("id").orderBy(F.desc("_batch_id"))
-            store = (spark.read.parquet(store_path)
-                     .filter(F.col("_batch_id") != batch_id)
+            store = (snap
                      .withColumn("_rk", F.row_number().over(w))
                      .filter(F.col("_rk") == 1)
                      .select("id", "simhash"))
@@ -203,6 +329,13 @@ def incremental_dedup(spark: SparkSession, input_dir: str, work_dir: str,
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("_batch_id").parquet(store_path))
+        # commit the partition into the manifest (idempotent on replay —
+        # re-adding the same batch id maps to the same dir)
+        def _add(man: dict) -> dict:
+            man["batches"][str(batch_id)] = \
+                f"{SIG_STORE}/_batch_id={batch_id}"
+            return man
+        _mutate_manifest(work_dir, _add)
 
     writer = (enriched.writeStream.foreachBatch(process)
               .option("checkpointLocation", checkpoint_dir))
@@ -213,66 +346,78 @@ def incremental_dedup(spark: SparkSession, input_dir: str, work_dir: str,
 
 def compact_store(spark: SparkSession, work_dir: str, keep_last: int = 1,
                   target_rows_per_file: int = 4_000_000,
-                  force: bool = False) -> int:
-    """Fold finished per-batch signature partitions into the base partition
-    (``_batch_id=-1``), latest-signature-per-id, sized to
+                  grace_generations: int = 1) -> int:
+    """Fold finished per-batch signature partitions + the previous base
+    into a NEW base generation table, latest-signature-per-id, sized to
     ``target_rows_per_file`` — the periodic maintenance step a long-running
-    stream needs (parquet stand-in for Iceberg ``rewriteDataFiles``).
+    stream needs (parquet stand-in for Iceberg ``rewriteDataFiles`` + the
+    snapshot commit).  SAFE TO RUN WHILE THE STREAM IS ACTIVE (r5 VERDICT
+    #5): readers resolve the store through the manifest, compaction never
+    rewrites a file in place — it writes ``sig_store_base/gen_N.parquet``,
+    commits the new snapshot atomically, and only defer-deletes files
+    dereferenced ``grace_generations`` compactions ago, so a reader
+    holding the previous snapshot still finds every file it pinned.  (A
+    reader would have to sleep across ``grace_generations + 1`` full
+    compaction cycles to lose a file — raise the grace for pathologically
+    slow consumers; a real catalog's snapshot retention is the production
+    analog.)
 
     Replay safety: only the in-flight micro-batch can be replayed (a store
     write whose checkpoint commit failed), and that is always the NEWEST
     partition — the ``keep_last`` newest batch partitions are never merged,
-    so a replayed batch still overwrites its own intact partition.  The
-    base id -1 sorts below every real batch id, so the readers'
-    latest-batch-wins window is unaffected.  Returns the number of batch
-    partitions merged (0 = nothing to do).
-
-    CONCURRENCY (not replay) safety: the micro-batch's store read
-    (``spark.read.parquet`` in ``process``) lists parquet files lazily and
-    scans them later in the same batch — a compaction that deletes merged
-    ``_batch_id=`` dirs in that window makes the scan fail with
-    FileNotFoundException (or silently drop store signatures under
-    ``spark.sql.files.ignoreMissingFiles``).  So this function REFUSES to
-    run while any StreamingQuery is active on this session; run it between
-    triggers from the driver thread (e.g. between ``availableNow`` runs),
-    or while the stream is stopped.  ``force=True`` bypasses the check for
-    callers that coordinate externally — e.g. a second driver, where this
-    session-local probe cannot see the reader and an Iceberg snapshot
-    commit (which never deletes files a live scan holds) is the real fix.
+    so a replayed batch still overwrites its own intact partition (and
+    even a merged replay stays consistent: the re-written partition's
+    batch id outranks the base's -1 in the latest-wins window).  Returns
+    the number of batch partitions merged (0 = nothing to do).
     """
     import shutil
 
     from pyspark.sql import Window
 
-    if not force and spark.streams.active:
-        names = [q.name or q.id for q in spark.streams.active]
-        raise RuntimeError(
-            f"compact_store: refusing to rewrite the signature store while "
-            f"streaming queries are active ({names}); stop the stream or "
-            f"run between availableNow triggers (force=True to override)")
-    store_path = os.path.join(work_dir, SIG_STORE)
-    if not os.path.isdir(store_path):
-        return 0
-    df = spark.read.parquet(store_path)
-    batch_ids = sorted(r["_batch_id"]
-                       for r in df.select("_batch_id").distinct().collect())
-    real = [b for b in batch_ids if b != -1]
+    man = load_manifest(work_dir)
+    real = sorted(int(b) for b in man["batches"])
     merge_ids = real[:max(0, len(real) - keep_last)]
     if not merge_ids:
         return 0
+    gen = man["generation"] + 1
+    snap = read_store(
+        spark, work_dir,
+        manifest={**man,
+                  "batches": {str(b): man["batches"][str(b)]
+                              for b in merge_ids}})
     w = Window.partitionBy("id").orderBy(F.desc("_batch_id"))
-    base = (df.filter(F.col("_batch_id").isin([-1] + merge_ids))
+    base = (snap
             .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") == 1)
             .select("id", "simhash")
-            .localCheckpoint(eager=True))  # detach from the files we rewrite
+            .localCheckpoint(eager=True))  # detach before the commit below
     n = base.count()
     files = max(1, min(64, -(-n // target_rows_per_file)))
-    (base.withColumn("_batch_id", F.lit(-1))
-     .repartition(files).write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("_batch_id").parquet(store_path))
-    for b in merge_ids:
-        shutil.rmtree(os.path.join(store_path, f"_batch_id={b}"),
-                      ignore_errors=True)
+    base_rel = f"{SIG_STORE_BASE}/gen_{gen}.parquet"
+    base.repartition(files).write.mode("overwrite").parquet(
+        os.path.join(work_dir, base_rel))
+
+    dereferenced = ([man["base"]] if man["base"] else []) + \
+        [man["batches"][str(b)] for b in merge_ids]
+
+    def _commit(cur: dict) -> dict:
+        # cur may have NEW batches appended by the live stream since the
+        # snapshot — keep them; drop only what this compaction merged
+        for b in merge_ids:
+            cur["batches"].pop(str(b), None)
+        cur["base"] = base_rel
+        cur["generation"] = gen
+        cur["tombstones"] = cur.get("tombstones", []) + [
+            {"gen": gen, "path": p} for p in dereferenced]
+        # physical deletion, one grace generation later
+        keep, drop = [], []
+        for t in cur["tombstones"]:
+            (drop if t["gen"] <= gen - grace_generations else keep).append(t)
+        for t in drop:
+            shutil.rmtree(os.path.join(work_dir, t["path"]),
+                          ignore_errors=True)
+        cur["tombstones"] = keep
+        return cur
+
+    _mutate_manifest(work_dir, _commit)
     return len(merge_ids)
