@@ -146,6 +146,124 @@ def hamming_verify(cands: DataFrame, sigs: DataFrame,
     )
 
 
+def blocked_hamming_pairs(bands: DataFrame, threshold: int,
+                          chunk_rows: int = 1024,
+                          chunk_cols: int = 4096) -> DataFrame:
+    """(a, b, hamming): every distinct within-bucket pair with Hamming <=
+    threshold — verified INSIDE each bucket with vectorized popcount,
+    never materializing the candidate pair set through a shuffle.
+
+    WHY (r6 1M-doc scale cliff, BENCH.md §1m): the join-shaped verify
+    (``band_candidates`` -> ``.distinct()`` -> two signature joins) pays
+    the quadratic in-bucket candidate volume THROUGH FOUR SHUFFLES.  On
+    the low-entropy synthetic vocabulary, bucket sizes grow linearly with
+    the corpus, so candidates grow quadratically — measured 9.6M pairs at
+    250k docs -> 147.9M at 1M (15.4x for 4x the data); at 1M the stage
+    spent 1,400 s mostly sorting/spilling candidate rows.  Verifying
+    in-bucket turns those 148M shuffled rows into 148M numpy popcounts
+    (XOR + byte-LUT, ~1e9/s/core) inside one pass over the band table,
+    emitting only the verified pairs (~0.3%% of candidates).
+
+    Plan shape: repartition + sortWithinPartitions on (table_id,
+    band_key), then ``mapInPandas`` with a carry-over buffer for the
+    bucket that straddles an Arrow-batch boundary — buckets stay
+    contiguous per partition, so each is processed exactly once, and
+    per-group pandas overhead is avoided (a groupBy-``applyInPandas``
+    would invoke Python once per bucket — tens of millions of times at
+    web scale; here singleton buckets cost one vectorized boundary scan).
+    Per-bucket work is chunked (``chunk_rows`` x ``chunk_cols``) so a
+    pathological mega-bucket is processed in bounded memory on one task;
+    buckets large enough to need MORE than one task should be capped
+    upstream (``cap_buckets``) — at 1M docs the largest rep bucket holds
+    670 rows.
+
+    Output is canonicalized (a < b) and ``.distinct()`` deduplicates
+    across tables on VERIFIED rows only.  Bit-identical to the join
+    verify (pytest-pinned; the sf0.01 oracle rows check it end-to-end).
+    """
+    id_t = dict(bands.dtypes)["id"]
+    out_schema = f"a {id_t}, b {id_t}, hamming int"
+    spark = bands.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    arranged = (bands.select("id", "simhash", "table_id", "band_key")
+                .repartition(n_part, "table_id", "band_key")
+                .sortWithinPartitions("table_id", "band_key"))
+    thr = int(threshold)
+
+    def verify(batches):
+        import numpy as np
+        import pandas as pd
+
+        lut = np.array([bin(i).count("1") for i in range(256)],
+                       dtype=np.uint8)
+
+        def bucket_pairs(ids, sigs):
+            m = len(sigs)
+            for i0 in range(0, m, chunk_rows):
+                si = sigs[i0:i0 + chunk_rows]
+                for j0 in range(max(i0, 0), m, chunk_cols):
+                    sj = sigs[j0:j0 + chunk_cols]
+                    x = (si[:, None] ^ sj[None, :])
+                    h = lut[x.view(np.uint8).reshape(len(si), len(sj), 8)] \
+                        .sum(axis=2, dtype=np.uint16)
+                    ii, jj = np.nonzero(h <= thr)
+                    gi, gj = ii + i0, jj + j0
+                    keep = gi < gj  # strict upper triangle: self + mirror out
+                    if not keep.any():
+                        continue
+                    gi, gj, hv = gi[keep], gj[keep], h[ii[keep], jj[keep]]
+                    ia, ib = ids[gi], ids[gj]
+                    sw = ib < ia
+                    ia2 = np.where(sw, ib, ia)
+                    ib2 = np.where(sw, ia, ib)
+                    yield ia2, ib2, hv.astype(np.int32)
+
+        def process(region: pd.DataFrame):
+            t = region["table_id"].to_numpy()
+            k = region["band_key"].to_numpy()
+            change = np.empty(len(t), dtype=bool)
+            change[0] = True
+            change[1:] = (t[1:] != t[:-1]) | (k[1:] != k[:-1])
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(t))
+            ids = region["id"].to_numpy()
+            sigs = region["simhash"].to_numpy().astype(np.int64) \
+                .view(np.uint64)
+            outs = []
+            for s, e in zip(starts, ends):
+                if e - s < 2:  # singleton bucket: no pairs
+                    continue
+                for ia, ib, hv in bucket_pairs(ids[s:e], sigs[s:e]):
+                    outs.append((ia, ib, hv))
+            if outs:
+                yield pd.DataFrame({
+                    "a": np.concatenate([o[0] for o in outs]),
+                    "b": np.concatenate([o[1] for o in outs]),
+                    "hamming": np.concatenate([o[2] for o in outs]),
+                })
+
+        pending: pd.DataFrame | None = None
+        for b in batches:
+            df = pd.concat([pending, b]) if pending is not None else b
+            if len(df) == 0:
+                pending = None
+                continue
+            tl = df["table_id"].iat[-1]
+            kl = df["band_key"].iat[-1]
+            tail = ((df["table_id"].to_numpy() == tl)
+                    & (df["band_key"].to_numpy() == kl))
+            if tail.all():  # whole buffer is one bucket — keep accumulating
+                pending = df
+                continue
+            cut = len(df) - int(tail[::-1].argmin())
+            head, pending = df.iloc[:cut], df.iloc[cut:]
+            yield from process(head)
+        if pending is not None and len(pending):
+            yield from process(pending)
+
+    return arranged.mapInPandas(verify, schema=out_schema).distinct()
+
+
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", cfg: DedupConfig = DEFAULT,
                   scheme: str = "single") -> DataFrame:
@@ -155,19 +273,21 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     equals the brute-force O(n^2) join — which is exactly what the DuckDB
     oracle computes (see ``__spark_entry__``).
 
-    The signature frame is lazily localCheckpoint-ed: it appears in three
-    join arms (bands + both verify sides) and would otherwise re-run the
-    Arrow UDF once per arm (measured 2.7x on this query)."""
+    Verification is bucket-local (``blocked_hamming_pairs``, r6): the
+    fingerprint rides the band row, so no candidate set and no signature
+    join ever materializes.  The signature frame is lazily
+    localCheckpoint-ed: the band explode would otherwise re-run the Arrow
+    UDF under AQE re-planning."""
     sigs = simhash_fingerprints(df, id_col, text_col).localCheckpoint(eager=False)
-    cands = band_candidates(simhash_bands(sigs, cfg, scheme))
-    return hamming_verify(cands, sigs, cfg.hamming_threshold)
+    return blocked_hamming_pairs(simhash_bands(sigs, cfg, scheme),
+                                 cfg.hamming_threshold)
 
 
 def simhash_edges(df: DataFrame | None, id_col: str = "doc_id",
                   text_col: str = "text", cfg: DedupConfig = DEFAULT,
                   scheme: str = "combo",
                   sigs: DataFrame | None = None,
-                  skew_mode: str = "salt") -> tuple[DataFrame, DataFrame]:
+                  skew_mode: str = "blocked") -> tuple[DataFrame, DataFrame]:
     """Scale path for the pipeline: returns (edges, overflow_quarantine).
 
     Docs are first collapsed to *distinct fingerprints* (exact clones and
@@ -179,9 +299,14 @@ def simhash_edges(df: DataFrame | None, id_col: str = "doc_id",
     ``sigs``: optional materialized (id, simhash) stage table; strongly
     recommended — it keeps the signature UDF out of the self-join plan.
 
-    ``skew_mode``: 'salt' (default) spreads hot buckets over salted sub-keys
-    with NO recall loss; 'cap' keeps only the first ``max_bucket_size``
-    members per bucket and quarantines the rest (reference-cap semantics).
+    ``skew_mode``: 'blocked' (default since r6 — the 1M-doc cliff fix,
+    see ``blocked_hamming_pairs``) verifies inside each bucket with
+    vectorized popcount, lossless, bounded memory via chunking; 'salt'
+    spreads hot buckets over salted sub-keys through the join-shaped
+    verify with NO recall loss; 'cap' keeps only the first
+    ``max_bucket_size`` members per bucket and quarantines the rest
+    (reference-cap semantics).  All three emit the identical edge set on
+    un-capped data (pytest-pinned).
     """
     if sigs is None:
         # lazy checkpoint: keep the UDF out of the multi-arm join plan
@@ -195,17 +320,22 @@ def simhash_edges(df: DataFrame | None, id_col: str = "doc_id",
     )
     reps = tagged.filter(F.col("id") == F.col("rep")).select("id", "simhash")
     bands = simhash_bands(reps, cfg, scheme)
-    if skew_mode == "salt":
+    if skew_mode == "blocked":
+        rep_pairs = blocked_hamming_pairs(
+            bands, cfg.hamming_threshold).select("a", "b")
+        overflow = bands.limit(0)  # lossless: nothing quarantined
+    elif skew_mode == "salt":
         cands = salted_band_candidates(
             bands, cfg.max_bucket_size, cfg.salt_factor)
         overflow = bands.limit(0)  # lossless: nothing quarantined
+        rep_pairs = hamming_verify(cands, reps,
+                                   cfg.hamming_threshold).select("a", "b")
     elif skew_mode == "cap":
         kept, overflow = cap_buckets(bands, cfg.max_bucket_size)
-        cands = band_candidates(kept)
+        rep_pairs = hamming_verify(band_candidates(kept), reps,
+                                   cfg.hamming_threshold).select("a", "b")
     else:
         raise ValueError(skew_mode)
-    rep_pairs = hamming_verify(cands, reps,
-                               cfg.hamming_threshold).select("a", "b")
     return clone_edges.unionByName(rep_pairs), overflow
 
 
