@@ -50,8 +50,14 @@ def main() -> None:
     from webdedup.plans import pipeline
     from webdedup.session import get_spark
 
+    # Shuffle partitions must track DATA VOLUME, not just cores: the r6 1M
+    # run at 8 partitions sorted ~5M-row partitions per task (spill).  A
+    # real cluster gets this from AQE's initialPartitionNum; here the env
+    # override sizes the artifact runs (32 for the 1M corpus).
+    shuffle = int(os.environ.get("WEBDEDUP_SCALEUP_SHUFFLE",
+                                 str(max(cores * 2, 8))))
     spark = get_spark(f"webdedup-scaleup-{cores}", cores=cores,
-                      shuffle_partitions=max(cores * 2, 8))
+                      shuffle_partitions=shuffle)
     work = tempfile.mkdtemp(
         prefix=f"webdedup_scaleup_{cores}_",
         dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
@@ -62,12 +68,16 @@ def main() -> None:
         fast = "auto"
     else:
         cfg, fast = CFG, None
-    # --confirm: the SimHash precision dial (exact-Jaccard >= 0.3
-    # confirmation of every SimHash edge; see pipeline.run docstring).
-    # --confirm-est uses the near-free 128-perm signature estimate instead.
-    confirm = 0.3 if ("--confirm" in sys.argv
-                      or "--confirm-est" in sys.argv) else None
-    confirm_mode = "est" if "--confirm-est" in sys.argv else "exact"
+    # SimHash precision confirmation (see pipeline.run docstring): the r6
+    # pipeline DEFAULT is the near-free est-mode confirm at 0.3 and this
+    # tool rides it; --confirm switches to exact shingle-Jaccard confirm,
+    # --no-confirm restores the pure hash+threshold semantics.
+    if "--no-confirm" in sys.argv:
+        confirm, confirm_mode = None, "est"
+    elif "--confirm" in sys.argv:
+        confirm, confirm_mode = 0.3, "exact"
+    else:  # default == pipeline default (est mode; --confirm-est accepted)
+        confirm, confirm_mode = 0.3, "est"
     try:
         pages = spark.read.parquet(corpus)
         n_docs = pages.count()

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import numpy as np
 import pandas as pd
 from pyspark.sql.types import ArrayType, LongType
 
@@ -157,7 +158,8 @@ def jaccard_verify(cands: DataFrame, df: DataFrame, id_col: str = "doc_id",
                    threshold: float | None = None,
                    sets: DataFrame | None = None,
                    exploded: bool = True,
-                   restrict_sets: bool = False) -> DataFrame:
+                   restrict_sets: bool = False,
+                   pair_kernel: bool = True) -> DataFrame:
     """Verify candidate (a, b) pairs with exact shingle-set Jaccard.
 
     The join back to the corpus is the reference's candidate-verification
@@ -165,12 +167,26 @@ def jaccard_verify(cands: DataFrame, df: DataFrame, id_col: str = "doc_id",
     Pass a materialized ``sets`` (from ``shingle_sets``) to avoid recomputing
     shingles inside a multi-join plan.
 
-    ``exploded=True`` (default) computes |A n B| with narrow-row equi-joins
+    ``pair_kernel=True`` (default since r6 — the 1M-doc edges_minhash
+    whale): join each side's shingle ARRAY to the pair once (two shuffle
+    joins moving ~0.5 KB/row — half the bytes of the exploded index rows
+    for the same pair) and compute |A∩B| with a vectorized-batch numpy
+    kernel — no 60x pair-row explosion, no giant groupBy.  Values are
+    bit-identical (same integer intersection/union, same float64
+    division); the jaccard/minhash oracle rows pin it.  This is NOT the
+    r3-rejected wide-array BROADCAST plan (per-task broadcast
+    deserialization GC): both sides arrive by shuffle join, sized by the
+    candidate list.  Set False to fall back to the exploded-index plan
+    below.
+
+    ``exploded=True`` computes |A n B| with narrow-row equi-joins
     over the exploded shingle index instead of joining the wide array column
     to both pair sides.  The array form broadcasts/shuffles ~KB-wide rows
     and at bench scale showed a 10x slowdown from broadcast deserialization
-    GC; the exploded form moves only (id, sh) longs — the only shape that
-    survives 100 TB.
+    GC; the exploded form moves only (id, sh) longs.  At the r6 1M-doc
+    scale the quadratic uncertainty-band candidate volume made its
+    pair-row explosion (~60 rows per pair side) + groupBy the single
+    largest cost in the pipeline — hence the pair kernel above.
 
     ``restrict_sets=True`` semi-joins ``sets`` to the candidate ids ONCE
     into a checkpointed small frame and derives both the exploded index and
@@ -186,6 +202,30 @@ def jaccard_verify(cands: DataFrame, df: DataFrame, id_col: str = "doc_id",
     if sets is None:
         sets = shingle_sets(df, id_col, text_col, cfg).localCheckpoint(
             eager=False)
+    if pair_kernel:
+        sa = sets.select(F.col("id").alias("a"),
+                         F.col("shingles").alias("sh_a"))
+        sb = sets.select(F.col("id").alias("b"),
+                         F.col("shingles").alias("sh_b"))
+
+        @F.pandas_udf("double")
+        def _jac(xa: pd.Series, xb: pd.Series) -> pd.Series:
+            if len(xa) == 0:  # scalar pandas UDFs can get empty batches
+                return pd.Series([], dtype="float64")
+            out = np.empty(len(xa), dtype="float64")
+            for i, (u, v) in enumerate(zip(xa.to_numpy(), xb.to_numpy())):
+                nu, nv = len(u), len(v)
+                if nu == 0 and nv == 0:
+                    out[i] = 0.0  # 0/0 -> 0.0, the exploded-plan semantics
+                    continue
+                inter = np.intersect1d(u, v, assume_unique=True).size
+                out[i] = inter / (nu + nv - inter)
+            return pd.Series(out)
+
+        return (cands.select("a", "b").join(sa, "a").join(sb, "b")
+                .withColumn("jaccard", _jac(F.col("sh_a"), F.col("sh_b")))
+                .filter(F.col("jaccard") >= t)
+                .select("a", "b", "jaccard"))
     if not exploded:
         sa = sets.select(F.col("id").alias("a"), F.col("shingles").alias("sh_a"))
         sb = sets.select(F.col("id").alias("b"), F.col("shingles").alias("sh_b"))
