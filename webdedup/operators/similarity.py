@@ -384,7 +384,7 @@ def _lloyd_step(v: DataFrame, cents: DataFrame) -> DataFrame:
              .agg(F.transform(
                  F.array_sort(F.collect_list(F.struct("dim", "m"))),
                  lambda s: s["m"]).alias("mvec")))
-    return (cents.join(means, "cid", "left")
+    return (cents.join(F.broadcast(means), "cid", "left")
             .select("cid",
                     F.coalesce(
                         "mvec",
