@@ -140,7 +140,8 @@ def run_headline() -> tuple[dict[str, float], float, dict[str, list[float]]]:
 
     qs = entrymod.queries()
     attempts: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for att in range(max(1, HEADLINE_ATTEMPTS)):
+
+    def one_attempt(att: int) -> None:
         entrymod.reset_memo()
         for name in HEADLINE:
             t0 = time.time()
@@ -150,9 +151,28 @@ def run_headline() -> tuple[dict[str, float], float, dict[str, list[float]]]:
             attempts[name].append(round(dt, 3))
             print(f"# [attempt {att + 1}] {name}: {dt:.2f}s ({n} rows)",
                   file=sys.stderr)
+
+    n_att = max(1, HEADLINE_ATTEMPTS)
+    for att in range(n_att):
+        one_attempt(att)
+    # Implausibility retry for the HEADLINE phase (r5 VERDICT #7 — the
+    # scaling pair already had one): when the complete attempts disagree by
+    # >1.3x, the slower one sat in a contention spike and the faster one
+    # may ALSO be inflated (spikes last minutes — both attempts can overlap
+    # one).  Take extra attempts (bounded) until the two fastest agree
+    # within 1.3x; the recorded headline stays the best COMPLETE attempt.
+    # A genuinely quiet pair of runs of deterministic queries agrees within
+    # ~10% on this host, so agreement-of-two is the stop signal.
+    while n_att < max(4, HEADLINE_ATTEMPTS):
+        totals_now = sorted(
+            sum(attempts[name][a] for name in HEADLINE) for a in range(n_att))
+        if len(totals_now) >= 2 and totals_now[1] / totals_now[0] <= 1.3:
+            break
+        one_attempt(n_att)
+        n_att += 1
     spark.stop()
     totals = [sum(attempts[name][att] for name in HEADLINE)
-              for att in range(max(1, HEADLINE_ATTEMPTS))]
+              for att in range(n_att)]
     best = min(range(len(totals)), key=totals.__getitem__)
     out = {name: attempts[name][best] for name in HEADLINE}
     return out, totals[best], attempts
@@ -170,13 +190,13 @@ def run_pipeline_at(cores: int) -> tuple[float, dict]:
     try:
         pages = spark.read.parquet(CORPUS_DIR)
         t0 = time.time()
-        # EXPLICIT production opt-in (r4: the pipeline default is now
-        # exact-verify): the scaling artifact measures the documented
-        # stratified fast-accept mode, labeled in the JSON as
+        # EXPLICIT production opt-in for fast-accept; the SimHash est-mode
+        # Jaccard confirmation rides the r6 pipeline DEFAULT (measured
+        # zero-cost, BENCH.md r5).  Labeled in the JSON as
         # scaling.pipeline_config — continuity with the r2/r3 recordings,
-        # which ran the same mode.  hash_scheme stays the md5 default (the
-        # oracle-checked scheme); the tokmix dial is measured separately
-        # (BENCH.md §tokmix).
+        # which ran the same fast-accept mode.  hash_scheme stays the md5
+        # default (the oracle-checked scheme); the tokmix dial is measured
+        # separately (BENCH.md §tokmix).
         res = pipeline.run(pages, work, cfg=CFG, resume=False,
                            record_metrics=False, minhash_fast_accept="auto")
         res.assignments.count()
@@ -240,12 +260,19 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "headline_attempts_sec": headline_attempts,
+        # the contention-free composite (per-query minimum across attempts)
+        # — NOT the headline (never a run that happened), reported so a
+        # contended artifact still carries the quiet-host signal
+        "headline_sum_of_minima": round(
+            sum(min(v) for v in headline_attempts.values()), 3),
         "sf": os.path.basename(SF_DIR.rstrip("/")),
         "scaling": {
             "cores_lo": LO_CORES,
             "cores_hi": HI_CORES,
             "pipeline_config": {"minhash_fast_accept": "auto",
-                                "hash_scheme": "md5"},
+                                "hash_scheme": "md5",
+                                "simhash_confirm_jaccard": 0.3,
+                                "simhash_confirm_mode": "est"},
             "docs": n_docs,
             "lo_sec": round(t_lo, 3),
             "hi_sec": round(t_hi, 3),
