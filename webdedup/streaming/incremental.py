@@ -221,7 +221,7 @@ def check_scheme_stamp(work_dir: str, cfg: DedupConfig = DEFAULT) -> None:
         return
     if store_exists:
         raise RuntimeError(
-            f"signature store at {store_path} predates scheme versioning "
+            f"signature store under {work_dir} predates scheme versioning "
             f"(no {SCHEME_STAMP}); signature values may be incompatible "
             f"with the current implementation — rebuild the store, or "
             f"stamp it manually after verifying the scheme matches.")
