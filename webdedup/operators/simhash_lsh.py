@@ -183,10 +183,14 @@ def blocked_hamming_pairs(bands: DataFrame, threshold: int,
     """
     id_t = dict(bands.dtypes)["id"]
     out_schema = f"a {id_t}, b {id_t}, hamming int"
-    spark = bands.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # no fixed partition count (r7): a hash repartition WITHOUT an explicit
+    # n stays AQE-managed, so the exchange is coalesced to ~1 partition at
+    # bench scale (the 32-task floor dominated this stage on small inputs)
+    # and advisory-sized at production scale — scale-adaptive, not a local
+    # constant (guide §2.2/§2.5; optimization-round rule on parameterised
+    # partitioning)
     arranged = (bands.select("id", "simhash", "table_id", "band_key")
-                .repartition(n_part, "table_id", "band_key")
+                .repartition("table_id", "band_key")
                 .sortWithinPartitions("table_id", "band_key"))
     thr = int(threshold)
 
