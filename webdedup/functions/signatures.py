@@ -160,6 +160,77 @@ def vector_simhash_udf(cfg: DedupConfig = DEFAULT) -> Column:
     return _udf
 
 
+def minhash_shingle_sets(df, cfg: DedupConfig = DEFAULT,
+                         id_col: str = "doc_id", text_col: str = "text"):
+    """(id, minhash: array<long>, shingles: array<long>) in ONE
+    ``mapInPandas`` pass — the r7 fused twin of ``minhash_signatures`` +
+    ``jaccard.shingle_sets`` for the minhash-verify query path.
+
+    Separately, each of those operators tokenizes every document and runs
+    one md5 per 5-gram shingle — the measured floor of both.  Fused, the
+    tokenization runs once and ONE digest per distinct shingle serves both
+    hash widths (h32 = the 60-bit value >> 28, exactly the
+    ``all_signatures`` sharing trick), so the md5+tokenize work of the
+    second pass disappears.  Values are bit-identical to the individual
+    operators: the shingle list keeps first-occurrence order, duplicate
+    shingle strings are skipped BEFORE hashing (same value set — equal
+    strings hash equally), and empty docs carry the sentinel signature.
+    """
+    import hashlib
+
+    from pyspark.sql.types import (
+        ArrayType, LongType, StructField, StructType,
+    )
+
+    from webdedup.functions.registry import get_tokenizer
+
+    from webdedup.plans.partitions import ensure_min_partitions
+
+    id_field = df.schema[id_col]
+    out_schema = StructType([
+        StructField("id", id_field.dataType),
+        StructField("minhash", ArrayType(LongType())),
+        StructField("shingles", ArrayType(LongType())),
+    ])
+    # a small parquet scan arrives as 1-2 partitions, which would run the
+    # tokenize+md5 pass — the measured floor of this operator — on one
+    # core; re-expand only when under-partitioned (no-op at scale)
+    df = ensure_min_partitions(df.select(id_col, text_col))
+    a, b = hashing.minhash_perms(cfg.minhash_perms, cfg.seed)
+    empty_sig = [int(hashing.MERSENNE61)] * cfg.minhash_perms
+    k = cfg.shingle_k
+    md5 = hashlib.md5
+    tokenizer = get_tokenizer(cfg.tokenizer)
+
+    def run(batches):
+        for batch in batches:
+            out = {"id": [], "minhash": [], "shingles": []}
+            for rid, text in zip(batch[id_col], batch[text_col]):
+                toks = tokenizer(text or "")
+                seen: set[str] = set()
+                sh60: dict[int, None] = {}
+                h32s: dict[int, None] = {}
+                for g in shingles_py(toks, k):
+                    if g in seen:
+                        continue
+                    seen.add(g)
+                    v = int(md5(g.encode()).hexdigest()[:15], 16)
+                    sh60[v] = None
+                    h32s[v >> 28] = None
+                if h32s:
+                    hs = np.fromiter(h32s, dtype=np.uint64, count=len(h32s))
+                    vals = hashing.perm_mod_p(a, b, hs)
+                    minsig = [int(v) for v in vals.min(axis=1)]
+                else:
+                    minsig = empty_sig
+                out["id"].append(rid)
+                out["minhash"].append(minsig)
+                out["shingles"].append(list(sh60))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
 # ---------------------------------------------------------------------------
 # Fused signature pass (pipeline fast path)
 # ---------------------------------------------------------------------------

@@ -34,7 +34,8 @@ def cluster_pairs(assignments: DataFrame) -> DataFrame:
     )
 
 
-def metrics_frame(predicted: DataFrame, truth: DataFrame) -> DataFrame:
+def metrics_frame(predicted: DataFrame, truth: DataFrame,
+                  assume_canonical: bool = False) -> DataFrame:
     """One-row (tp, fp, fn, precision, recall, f1) — the reference's
     evaluation report (``evaluator.py:58-63``) as a DataFrame.
 
@@ -43,9 +44,19 @@ def metrics_frame(predicted: DataFrame, truth: DataFrame) -> DataFrame:
     count() actions, each re-deriving both canonicalized inputs — 3x the
     join work for one report row.)  Ratios are float64 from exact counts,
     rounded to 6 decimals only at the output edge; f1 is derived from the
-    UNROUNDED precision/recall so both engines agree bit-for-bit."""
-    p = canonical_pairs(predicted).withColumn("_p", F.lit(1))
-    t = canonical_pairs(truth).withColumn("_t", F.lit(1))
+    UNROUNDED precision/recall so both engines agree bit-for-bit.
+
+    ``assume_canonical=True`` (r7): skip the least/greatest + distinct
+    normalization — one exchange per input — when the CALLER guarantees
+    both frames are already canonical pair sets (a < b, no duplicates),
+    e.g. matcher edge frames and ``cluster_pairs`` output.  Results are
+    identical for such inputs; leave False for arbitrary frames."""
+    if assume_canonical:
+        p = predicted.select("a", "b").withColumn("_p", F.lit(1))
+        t = truth.select("a", "b").withColumn("_t", F.lit(1))
+    else:
+        p = canonical_pairs(predicted).withColumn("_p", F.lit(1))
+        t = canonical_pairs(truth).withColumn("_t", F.lit(1))
     j = p.join(t, ["a", "b"], "full_outer")
     counts = j.agg(
         F.coalesce(F.sum(F.when(

@@ -97,7 +97,8 @@ def shingle_index(df: DataFrame, id_col: str = "doc_id",
 def jaccard_all_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", cfg: DedupConfig = DEFAULT,
                       threshold: float | None = None,
-                      max_df: int | None = None) -> DataFrame:
+                      max_df: int | None = None,
+                      sets: DataFrame | None = None) -> DataFrame:
     """(a, b, jaccard) for every pair with J >= threshold — exact values.
 
     ``max_df=None``: the fully-exact inverted-index plan (recall 1.0 by
@@ -114,8 +115,9 @@ def jaccard_all_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     t = cfg.jaccard_threshold if threshold is None else threshold
     if max_df is not None:
-        sets = shingle_sets(df, id_col, text_col, cfg).localCheckpoint(
-            eager=False)  # shared by the capped index + the verify join
+        if sets is None:
+            sets = shingle_sets(df, id_col, text_col, cfg).localCheckpoint(
+                eager=False)  # shared by the capped index + the verify join
         idx = sets.select("id", F.explode("shingles").alias("sh"))
         from pyspark.sql import Window
         w = Window.partitionBy("sh")
@@ -130,8 +132,12 @@ def jaccard_all_pairs(df: DataFrame, id_col: str = "doc_id",
         )
         return jaccard_verify(cands, df, id_col, text_col, cfg, t, sets=sets)
 
-    idx = shingle_index(df, id_col, text_col, cfg).localCheckpoint(
-        eager=False)  # used by sizes + both self-join arms
+    if sets is not None:
+        idx = (sets.select("id", F.explode("shingles").alias("sh"))
+               .localCheckpoint(eager=False))
+    else:
+        idx = shingle_index(df, id_col, text_col, cfg).localCheckpoint(
+            eager=False)  # used by sizes + both self-join arms
     sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         idx.select(F.col("id").alias("a"), "sh")

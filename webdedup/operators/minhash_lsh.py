@@ -30,7 +30,13 @@ from webdedup.operators.simhash_lsh import cap_buckets
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        cfg: DedupConfig = DEFAULT) -> DataFrame:
-    """(id, minhash: array<long>[128]) — one Arrow-batched UDF projection."""
+    """(id, minhash: array<long>[128]) — one Arrow-batched UDF projection.
+
+    Input re-expanded when under-partitioned (r7), so the per-shingle md5
+    pass — this operator's floor — parallelizes even when the source scan
+    arrives as 1-2 partitions; a no-op at scale (plans.partitions)."""
+    from webdedup.plans.partitions import ensure_min_partitions
+    df = ensure_min_partitions(df.select(id_col, text_col))
     return df.select(F.col(id_col).alias("id"),
                      minhash_col(F.col(text_col), cfg).alias("minhash"))
 
@@ -172,7 +178,17 @@ def minhash_edges(df: DataFrame | None, id_col: str = "doc_id",
     Jaccard is 0 or 0/0 -> NULL and is dropped.
     """
     t = cfg.minhash_threshold if threshold is None else threshold
-    if sigs is None:
+    if sigs is None and sets is None and df is not None:
+        # r7: neither stage table supplied — ONE fused pass computes both
+        # (tokenization once, one md5 per distinct shingle serving both
+        # hash widths) instead of two full tokenize+md5 passes; values are
+        # bit-identical to the separate operators (signatures doc)
+        from webdedup.functions.signatures import minhash_shingle_sets
+        fused = minhash_shingle_sets(df, cfg, id_col, text_col)
+        fused = fused.localCheckpoint(eager=False)
+        sigs = fused.select("id", "minhash")
+        sets = fused.select("id", "shingles")
+    elif sigs is None:
         # lazy checkpoint: signature UDF would otherwise run once per join arm
         sigs = minhash_signatures(df, id_col, text_col, cfg).localCheckpoint(
             eager=False)

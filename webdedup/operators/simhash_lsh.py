@@ -41,7 +41,13 @@ from webdedup.functions.signatures import simhash64_col
 
 def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:
-    """(id, simhash:long) — one Arrow-batched UDF projection, no shuffle."""
+    """(id, simhash:long) — one Arrow-batched UDF projection.
+
+    The input is re-expanded when under-partitioned (r7): a small parquet
+    scan arrives as 1-2 partitions, which would run the tokenize+hash UDF
+    on 1-2 cores; at scale the guard is a no-op (plans.partitions)."""
+    from webdedup.plans.partitions import ensure_min_partitions
+    df = ensure_min_partitions(df.select(id_col, text_col))
     return df.select(F.col(id_col).alias("id"),
                      simhash64_col(F.col(text_col)).alias("simhash"))
 

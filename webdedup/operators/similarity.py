@@ -294,35 +294,49 @@ def _blocked_cosine_pairs(rows: DataFrame, key_cols: list[str], id_type,
     hot = (rows.select(*key_cols)
            .groupBy(*key_cols)
            .agg(F.count(F.lit(1)).alias("_n"))
-           .filter(F.col("_n") > max_bucket_rows))
-    tagged = rows.join(F.broadcast(hot), key_cols, "left")
-    # cold rows (the common case): single copy via plain literal columns —
-    # no interpreted array HOFs on the bulk of the data (guide §4.1)
-    cold = (tagged.filter(F.col("_n").isNull())
-            .select("id", "vec", *key_cols,
-                    F.lit(0).alias("sl"), F.lit(0).alias("sr"),
-                    F.lit(True).alias("lft"), F.col("ex").alias("rgt")))
-    ns = F.ceil(F.col("_n") / max_bucket_rows).cast("int")
-    g = F.pmod(F.xxhash64(F.col("id")), ns).cast("int")
-    seq = F.sequence(F.lit(0), ns - 1)
-    copies = F.concat(
-        # left copies: sub-buckets (g, j); the (g, g) cell doubles as this
-        # row's right-arm slot so it is emitted once with both roles
-        F.transform(seq, lambda j: F.struct(
-            g.alias("sl"), j.alias("sr"), F.lit(True).alias("lft"),
-            (F.col("ex") & (j == g)).alias("rgt"))),
-        # right-only copies: sub-buckets (i, g), i != g
-        F.filter(
-            F.transform(seq, lambda i: F.struct(
-                i.alias("sl"), g.alias("sr"), F.lit(False).alias("lft"),
-                F.col("ex").alias("rgt"))),
-            lambda s: s["rgt"] & (s["sl"] != g)),
-    )
-    hot_rows = (tagged.filter(F.col("_n").isNotNull())
-                .select("id", "vec", *key_cols, F.explode(copies).alias("s"))
+           .filter(F.col("_n") > max_bucket_rows)
+           .localCheckpoint(eager=False))  # probe action + broadcast reuse
+    # Adaptive skip (r7, the salted_band_candidates pattern): ONE tiny
+    # keys-only agg action decides whether ANY bucket is oversized.  When
+    # none is (the common case), the broadcast join + two-arm union the
+    # grid split needs — 2-3 extra stages whose fixed latency dominated
+    # this operator at bench scale — vanish from the plan entirely; when
+    # data IS skewed the probe cost is noise next to the join it shapes.
+    if hot.isEmpty():
+        gridded = rows.select(
+            "id", "vec", *key_cols,
+            F.lit(0).alias("sl"), F.lit(0).alias("sr"),
+            F.lit(True).alias("lft"), F.col("ex").alias("rgt"))
+    else:
+        tagged = rows.join(F.broadcast(hot), key_cols, "left")
+        # cold rows: single copy via plain literal columns — no
+        # interpreted array HOFs on the bulk of the data (guide §4.1)
+        cold = (tagged.filter(F.col("_n").isNull())
                 .select("id", "vec", *key_cols,
-                        "s.sl", "s.sr", "s.lft", "s.rgt"))
-    gridded = cold.unionByName(hot_rows)
+                        F.lit(0).alias("sl"), F.lit(0).alias("sr"),
+                        F.lit(True).alias("lft"), F.col("ex").alias("rgt")))
+        ns = F.ceil(F.col("_n") / max_bucket_rows).cast("int")
+        g = F.pmod(F.xxhash64(F.col("id")), ns).cast("int")
+        seq = F.sequence(F.lit(0), ns - 1)
+        copies = F.concat(
+            # left copies: sub-buckets (g, j); the (g, g) cell doubles as
+            # this row's right-arm slot so it is emitted once in both roles
+            F.transform(seq, lambda j: F.struct(
+                g.alias("sl"), j.alias("sr"), F.lit(True).alias("lft"),
+                (F.col("ex") & (j == g)).alias("rgt"))),
+            # right-only copies: sub-buckets (i, g), i != g
+            F.filter(
+                F.transform(seq, lambda i: F.struct(
+                    i.alias("sl"), g.alias("sr"), F.lit(False).alias("lft"),
+                    F.col("ex").alias("rgt"))),
+                lambda s: s["rgt"] & (s["sl"] != g)),
+        )
+        hot_rows = (tagged.filter(F.col("_n").isNotNull())
+                    .select("id", "vec", *key_cols,
+                            F.explode(copies).alias("s"))
+                    .select("id", "vec", *key_cols,
+                            "s.sl", "s.sr", "s.lft", "s.rgt"))
+        gridded = cold.unionByName(hot_rows)
     gkeys = [*key_cols, "sl", "sr"]
     arranged = gridded.repartition(*gkeys).sortWithinPartitions(*gkeys)
     out_schema = StructType([StructField("a", id_type),
@@ -519,8 +533,11 @@ def ivf_assignments(df: DataFrame, id_col: str = "vec_id",
     broadcast join, and each vector shuffles to exactly one list — the
     candidate join below is then list-pruned like any equi-join.
     """
+    # NOT checkpointed (r7): ``v`` is a straight projection of the source
+    # scan — caching the whole corpus in block storage is exactly wrong at
+    # 10^12 docs, and re-scanning a columnar table for the centroid pick +
+    # the assignment is the cheaper trade at every scale
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    v = v.localCheckpoint(eager=False)  # reused: centroid pick + assignment
     cents = (v.withColumn("_h", F.md5(F.col("id").cast("string")))
              .orderBy("_h", "id").limit(k_centroids)
              .select(F.col("id").alias("cid"), F.col("vec").alias("cvec")))

@@ -57,7 +57,12 @@ def anchor_index(df: DataFrame, id_col: str = "doc_id",
         )
 
     from webdedup.functions.registry import get_tokenizer
+    from webdedup.plans.partitions import ensure_min_partitions
 
+    # the per-16-gram md5 pass is this operator's floor; a small parquet
+    # scan arrives as 1-2 partitions and would run it on 1-2 cores (r7;
+    # no-op at scale — see plans.partitions)
+    df = ensure_min_partitions(df.select(id_col, text_col))
     K, mod = cfg.anchor_tokens, cfg.anchor_mod
     tok = get_tokenizer(cfg.tokenizer)
 
