@@ -55,20 +55,23 @@ SIG_SCHEME_VERSION = 2
 # naturally small, is done with bounded per-batch dicts inside the UDFs.
 
 def h60_py(s: str) -> int:
-    """60-bit md5-derived hash (first 15 hex chars)."""
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+    """60-bit md5-derived hash (first 15 hex chars == first 60 bits of the
+    digest; parsed from the raw bytes, ~25% cheaper than hexdigest+int —
+    r7, same value)."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8],
+                          "big") >> 4
 
 
 def h64_split_py(s: str) -> tuple[int, int]:
     """(hi32, lo32): first/second 8 hex chars of md5 — a portable 64-bit hash
     delivered as two 32-bit halves so SQL engines never overflow."""
-    d = hashlib.md5(s.encode("utf-8")).hexdigest()
-    return int(d[:8], 16), int(d[8:16], 16)
+    d = hashlib.md5(s.encode("utf-8")).digest()
+    return int.from_bytes(d[:4], "big"), int.from_bytes(d[4:8], "big")
 
 
 def h32_py(s: str) -> int:
     """32-bit md5-derived hash (first 8 hex chars)."""
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:4], "big")
 
 
 def to_signed64(u: int) -> int:

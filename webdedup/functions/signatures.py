@@ -200,6 +200,7 @@ def minhash_shingle_sets(df, cfg: DedupConfig = DEFAULT,
     empty_sig = [int(hashing.MERSENNE61)] * cfg.minhash_perms
     k = cfg.shingle_k
     md5 = hashlib.md5
+    from_bytes = int.from_bytes
     tokenizer = get_tokenizer(cfg.tokenizer)
 
     def run(batches):
@@ -207,14 +208,12 @@ def minhash_shingle_sets(df, cfg: DedupConfig = DEFAULT,
             out = {"id": [], "minhash": [], "shingles": []}
             for rid, text in zip(batch[id_col], batch[text_col]):
                 toks = tokenizer(text or "")
-                seen: set[str] = set()
                 sh60: dict[int, None] = {}
                 h32s: dict[int, None] = {}
                 for g in shingles_py(toks, k):
-                    if g in seen:
-                        continue
-                    seen.add(g)
-                    v = int(md5(g.encode()).hexdigest()[:15], 16)
+                    # first 60 digest bits == first 15 hex chars (r7:
+                    # byte parse, same value, ~25% cheaper)
+                    v = from_bytes(md5(g.encode()).digest()[:8], "big") >> 4
                     sh60[v] = None
                     h32s[v >> 28] = None
                 if h32s:
@@ -306,6 +305,7 @@ def all_signatures(df, cfg: DedupConfig = DEFAULT,
     K, mod, k = cfg.anchor_tokens, cfg.anchor_mod, cfg.shingle_k
     scheme = cfg.hash_scheme
     md5 = hashlib.md5
+    from_bytes = int.from_bytes
 
     from webdedup.functions.registry import get_tokenizer
 
@@ -348,7 +348,8 @@ def all_signatures(df, cfg: DedupConfig = DEFAULT,
                 sh60: dict[int, None] = {}
                 h32s: dict[int, None] = {}
                 for g in shingles_py(toks, k):
-                    v = int(md5(g.encode()).hexdigest()[:15], 16)
+                    # 60 digest bits == 15 hex chars (r7 byte parse)
+                    v = from_bytes(md5(g.encode()).digest()[:8], "big") >> 4
                     sh60[v] = None
                     h32s[v >> 28] = None
                 if h32s:
@@ -360,7 +361,7 @@ def all_signatures(df, cfg: DedupConfig = DEFAULT,
                 # --- anchors (16-gram winnowing sample) ---
                 anch: dict[int, None] = {}
                 for g in shingles_py(toks, K):
-                    h = int(md5(g.encode()).hexdigest()[:15], 16)
+                    h = from_bytes(md5(g.encode()).digest()[:8], "big") >> 4
                     if h % mod == 0:
                         anch[h] = None
                 out["id"].append(rid)
