@@ -129,3 +129,34 @@ def test_pipeline_runs_with_registered_nondefault_schemes(spark):
                         assert assign[u] == assign[v], (g, u, v)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_banding_warnings_guardrail():
+    """r7 (VERDICT r6 #7): cfg.banding_warnings flags both S-curve failure
+    modes — banding recall below the verify threshold, and quadratic
+    background-candidate volume at scale — and stays silent for matched
+    dials."""
+    from dataclasses import replace
+
+    from webdedup.config import DEFAULT
+
+    # default 32x4 at threshold 0.5: recall fine (p=0.873 >= 0.75 bound we
+    # pass), but at 1M low-entropy docs the background term is quadratic
+    warns = DEFAULT.banding_warnings(background_jaccard=0.2,
+                                     n_docs=1_000_000, min_recall=0.75)
+    assert any("quadratic" in w for w in warns), warns
+    assert not any("banding recall" in w for w in warns), warns
+
+    # 16x8 kills the quadratic term at the same scale...
+    b16 = replace(DEFAULT, minhash_bands=16, minhash_rows=8)
+    warns16 = b16.banding_warnings(background_jaccard=0.2,
+                                   n_docs=1_000_000, min_recall=0.75)
+    assert not any("quadratic" in w for w in warns16), warns16
+    # ...but under-recalls at the 0.5 verify threshold (p=0.061) — flagged
+    assert any("banding recall" in w for w in warns16), warns16
+
+    # matched dials: 16x8 with a 0.8 threshold at moderate scale is silent
+    ok = replace(DEFAULT, minhash_bands=16, minhash_rows=8,
+                 jaccard_threshold=0.8)
+    assert ok.banding_warnings(background_jaccard=0.2, n_docs=100_000,
+                               min_recall=0.9) == []

@@ -11,6 +11,12 @@ split engaged, (b) wall time does not regress, (c) planted recall stays
 Usage:  python tools/bench_ann_50k.py [cores] [threshold] [probe_bits] [cap]
 One config per invocation (cap = max_bucket_rows; 10000000 disables the
 grid); prints one JSON line.
+
+``--ivf`` (r7) instead benches the IVF family on the same 50k table:
+``ivf2_cosine_pairs`` through the shared blocked gemm kernel A/B'd against
+the r6 join-shaped verify (candidate equi-join + distinct + two vector
+joins + per-pair interpreted ``aggregate(zip_with())`` fold), asserting
+identical outputs — the VERDICT r6 "what's wrong #1" evidence run.
 """
 
 from __future__ import annotations
@@ -61,6 +67,81 @@ def ensure_table() -> None:
     open(os.path.join(CACHE, "_SUCCESS"), "w").close()
 
 
+def ivf_main() -> None:
+    """A/B the r7 blocked-kernel IVF verify against the r6 fold verify."""
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    cores = int(args[0]) if args else 4
+    thr = float(args[1]) if len(args) > 1 else 0.9
+    # k1=64/k2=16 (1024 cells) keeps the fold side's candidate volume
+    # (~10M pairs) finishable: at the coarser 16x8 quantizer the r6 shape
+    # pushed its interpreted cosine fold into a hash-join condition over
+    # ~78M candidate rows and was killed unfinished after 20 minutes of
+    # 100%-CPU JVM time — the kernel path completes the same work in
+    # seconds (see OPTIMIZATION_r07.md)
+    k1, k2, np1, np2 = (int(args[2]) if len(args) > 2 else 64,
+                        int(args[3]) if len(args) > 3 else 16, 2, 2)
+
+    from pyspark.sql import functions as F
+
+    from webdedup.operators import similarity
+    from webdedup.session import get_spark
+
+    ensure_table()
+    spark = get_spark(f"webdedup-ann50k-ivf-{cores}", cores=cores,
+                      shuffle_partitions=max(cores * 2, 8))
+    emb = spark.read.parquet(CACHE).localCheckpoint()
+    emb.count()
+    planted = spark.range(N_DUP).select(
+        F.col("id").alias("a"), (F.col("id") + N_BASE).alias("b"))
+
+    def fold_ivf2() -> "F.DataFrame":
+        # the r6 shape, reconstructed: candidates materialized through an
+        # equi-join + distinct, vectors joined back, per-pair interpreted
+        # Catalyst fold (similarity.py @ r6 ivf2_cosine_pairs)
+        assign2 = similarity._ivf2_assign(emb, "vec_id", "embedding",
+                                          k1, k2, np1)
+        probe_arm = (assign2.filter(F.col("rk2") <= np2)
+                     .select(F.col("id").alias("a"), "cid", "cid2"))
+        store = (assign2.filter((F.col("rank") == 1) & (F.col("rk2") == 1))
+                 .select(F.col("id").alias("b"), "cid", "cid2"))
+        cands = (probe_arm.join(store, ["cid", "cid2"])
+                 .select(F.least("a", "b").alias("a"),
+                         F.greatest("a", "b").alias("b"))
+                 .filter(F.col("a") != F.col("b")).distinct())
+        v = emb.select(F.col("vec_id").alias("id"),
+                       F.col("embedding").alias("vec"))
+        vecs = similarity.with_norm(v, "vec", "nrm")
+        va = vecs.select(F.col("id").alias("a"), F.col("vec").alias("va"),
+                         F.col("nrm").alias("na"))
+        vb = vecs.select(F.col("id").alias("b"), F.col("vec").alias("vb"),
+                         F.col("nrm").alias("nb"))
+        cos = similarity._dot(F.col("va"), F.col("vb")) / (
+            F.col("na") * F.col("nb"))
+        return (cands.join(va, "a").join(vb, "b")
+                .withColumn("cosine", F.round(cos, 6))
+                .filter(F.col("cosine") >= thr)
+                .select("a", "b", "cosine"))
+
+    out: dict = {"metric": "ann50k_ivf2", "cores": cores, "threshold": thr,
+                 "k1": k1, "k2": k2, "nprobe1": np1, "nprobe2": np2}
+    t0 = time.time()
+    new = similarity.ivf2_cosine_pairs(
+        emb, threshold=thr, k1=k1, k2=k2, nprobe1=np1, nprobe2=np2
+    ).localCheckpoint(eager=False)
+    out["pairs_kernel"] = new.count()
+    out["wall_kernel_sec"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    old = fold_ivf2().localCheckpoint(eager=False)
+    out["pairs_fold"] = old.count()
+    out["wall_fold_sec"] = round(time.time() - t0, 1)
+    out["identical"] = (new.exceptAll(old).unionAll(old.exceptAll(new))
+                        .isEmpty())
+    hit = new.join(planted, ["a", "b"], "left_semi").count()
+    out["planted_recall"] = round(hit / N_DUP, 4)
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
 def main() -> None:
     cores = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     thr = float(sys.argv[2]) if len(sys.argv) > 2 else 0.9
@@ -98,4 +179,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    ivf_main() if "--ivf" in sys.argv else main()

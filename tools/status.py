@@ -104,16 +104,38 @@ def _streaming_status(work_dir: str) -> dict | None:
     if not (os.path.isdir(store) or os.path.isdir(pairs)):
         return None
     out: dict = {}
+    manifest_path = os.path.join(work_dir, "_store_manifest.json")
+    man = None
+    if os.path.isfile(manifest_path):
+        with open(manifest_path) as f:
+            man = json.load(f)
     for label, path in (("sig_store", store), ("incremental_pairs", pairs)):
         if not os.path.isdir(path):
             continue
         parts = sorted(
             int(d.split("=", 1)[1]) for d in os.listdir(path)
             if d.startswith("_batch_id="))
+        if label == "sig_store" and man is not None:
+            # r7 (ADVICE r6): after a compaction the base lives in
+            # sig_store_base/gen_N.parquet — resolve the store through the
+            # manifest (live batches + base) so 'rows' counts the whole
+            # store and 'compacted_base' reflects the committed snapshot
+            live = [os.path.join(work_dir, rel)
+                    for rel in man.get("batches", {}).values()]
+            if man.get("base"):
+                live.append(os.path.join(work_dir, man["base"]))
+            out[label] = {
+                "batch_partitions": len(man.get("batches", {})),
+                "latest_batch_id": (max(int(b) for b in man["batches"])
+                                    if man.get("batches") else None),
+                "compacted_base": bool(man.get("base")),
+                "rows": sum(_footer_rows(p) for p in live),
+            }
+            continue
         out[label] = {
             "batch_partitions": len(parts),
             "latest_batch_id": max(parts) if parts else None,
-            "compacted_base": -1 in parts,
+            "compacted_base": -1 in parts,  # legacy (pre-manifest) stores
             "rows": _footer_rows(path),
         }
     stamp = os.path.join(work_dir, "_sig_scheme.json")

@@ -183,7 +183,11 @@ def jaccard_verify(cands: DataFrame, df: DataFrame, id_col: str = "doc_id",
     r3-rejected wide-array BROADCAST plan (per-task broadcast
     deserialization GC): both sides arrive by shuffle join, sized by the
     candidate list.  Set False to fall back to the exploded-index plan
-    below.
+    below.  ``restrict_sets`` is accepted but SUBSUMED in this branch
+    (r6 ADVICE): the two inner joins against the candidate frame ARE the
+    restriction — only candidate ids' shingle arrays ever move — so no
+    separate semi-join pass exists or is needed; the flag changes the
+    physical plan only under ``pair_kernel=False``.
 
     ``exploded=True`` computes |A n B| with narrow-row equi-joins
     over the exploded shingle index instead of joining the wide array column

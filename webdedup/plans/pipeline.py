@@ -185,8 +185,22 @@ def run(
                         sets=sigs.select("id", "shingles"),
                         restrict_sets=True)
                 elif simhash_confirm_mode == "est":
+                    # empty-token docs carry the sentinel signature and
+                    # would est-score 1.0 against each other (r6 ADVICE:
+                    # e.g. "" vs "  " — NOT exact dups, both tokenize to
+                    # nothing); exact mode drops them (0/0 Jaccard), so
+                    # est mode must too.  Anti-join the (tiny) sentinel-id
+                    # frame before scoring.
+                    from webdedup.functions.hashing import MERSENNE61
+                    sent = (sigs.filter(F.element_at("minhash", 1)
+                                        == F.lit(MERSENNE61)).select("id"))
+                    ee = (e.select("a", "b")
+                          .join(sent.select(F.col("id").alias("a")),
+                                "a", "left_anti")
+                          .join(sent.select(F.col("id").alias("b")),
+                                "b", "left_anti"))
                     e = minhash_lsh.signature_jaccard(
-                        e.select("a", "b"), sigs.select("id", "minhash")
+                        ee, sigs.select("id", "minhash")
                     ).filter(
                         F.col("est_jaccard") >= simhash_confirm_jaccard)
                 else:

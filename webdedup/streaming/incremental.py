@@ -190,7 +190,17 @@ def _scheme_stamp(cfg: DedupConfig) -> dict:
         "simhash_bits": cfg.simhash_bits,
         "hash_scheme": cfg.hash_scheme,
         "seed": cfg.seed,
+        # r7 (ADVICE r6): stored simhash values depend on the tokenizer and
+        # extractor registry entries too — resuming under a different one
+        # would silently never match stored signatures
+        "tokenizer": cfg.tokenizer,
+        "extractor": cfg.extractor,
     }
+
+
+# stamps written before r7 lack these keys; every such store was built with
+# the registry defaults, so a missing key compares as the default
+_STAMP_DEFAULTS = {"tokenizer": "whitespace", "extractor": "regex"}
 
 
 def check_scheme_stamp(work_dir: str, cfg: DedupConfig = DEFAULT) -> None:
@@ -209,6 +219,7 @@ def check_scheme_stamp(work_dir: str, cfg: DedupConfig = DEFAULT) -> None:
     if os.path.isfile(stamp_path):
         with open(stamp_path) as f:
             have = json.load(f)
+        have = {**_STAMP_DEFAULTS, **have}  # pre-r7 stamps: see defaults
         if have != want:
             diff = {k: (have.get(k), want[k]) for k in want
                     if have.get(k) != want[k]}
@@ -400,24 +411,32 @@ def compact_store(spark: SparkSession, work_dir: str, keep_last: int = 1,
     dereferenced = ([man["base"]] if man["base"] else []) + \
         [man["batches"][str(b)] for b in merge_ids]
 
+    to_delete: list[str] = []
+
     def _commit(cur: dict) -> dict:
         # cur may have NEW batches appended by the live stream since the
-        # snapshot — keep them; drop only what this compaction merged
+        # snapshot — keep them; drop only what this compaction merged.
+        # PURE (r7, ADVICE r6): deletion candidates are collected here but
+        # physically removed only AFTER the new manifest is committed — a
+        # crash mid-commit can no longer leave the committed manifest
+        # listing tombstones for already-deleted paths.
         for b in merge_ids:
             cur["batches"].pop(str(b), None)
         cur["base"] = base_rel
         cur["generation"] = gen
         cur["tombstones"] = cur.get("tombstones", []) + [
             {"gen": gen, "path": p} for p in dereferenced]
-        # physical deletion, one grace generation later
-        keep, drop = [], []
+        # physical deletion, one grace generation later (deferred)
+        keep = []
         for t in cur["tombstones"]:
-            (drop if t["gen"] <= gen - grace_generations else keep).append(t)
-        for t in drop:
-            shutil.rmtree(os.path.join(work_dir, t["path"]),
-                          ignore_errors=True)
+            if t["gen"] <= gen - grace_generations:
+                to_delete.append(t["path"])
+            else:
+                keep.append(t)
         cur["tombstones"] = keep
         return cur
 
     _mutate_manifest(work_dir, _commit)
+    for p in to_delete:
+        shutil.rmtree(os.path.join(work_dir, p), ignore_errors=True)
     return len(merge_ids)
