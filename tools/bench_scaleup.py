@@ -68,6 +68,17 @@ def main() -> None:
         fast = "auto"
     else:
         cfg, fast = CFG, None
+    # r7 banding presets (README table): --bands 16x8 etc. — measures the
+    # quadratic-candidate term of edges_minhash under a different b x r
+    # split at fixed 128 perms; the recall gate stays the acceptance bar
+    bands_arg = [a for a in sys.argv[1:] if a.startswith("--bands")]
+    if bands_arg:
+        from dataclasses import replace
+        b, r = (int(x) for x in
+                bands_arg[0].split("=", 1)[1].lower().split("x"))
+        cfg = replace(cfg, minhash_bands=b, minhash_rows=r)
+    for w in cfg.banding_warnings(n_docs=250_000):
+        print(f"# banding_warnings: {w}", file=sys.stderr)
     # SimHash precision confirmation (see pipeline.run docstring): the r6
     # pipeline DEFAULT is the near-free est-mode confirm at 0.3 and this
     # tool rides it; --confirm switches to exact shingle-Jaccard confirm,
@@ -92,6 +103,7 @@ def main() -> None:
             "docs": n_docs,
             "cores": cores,
             "mode": "production" if production else "default",
+            "minhash_bands_rows": [cfg.minhash_bands, cfg.minhash_rows],
             "simhash_confirm_jaccard": confirm,
             "simhash_confirm_mode": confirm_mode if confirm else None,
             "total_sec": round(total, 1),
