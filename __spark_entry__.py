@@ -100,6 +100,20 @@ def _sigsets(s: SparkSession, d: str) -> DataFrame:
                  lambda: minhash_shingle_sets(_docs(s, d), CFG))
 
 
+def _mh_band_cands(s: SparkSession, d: str) -> DataFrame:
+    """Banded candidate frame (a, b) over the RAW fused signature table —
+    the exact frame ``minhash_est_jaccard`` ranks, and (minus pairs touching
+    sentinel empty-doc signatures — an anti-join inside ``minhash_edges``,
+    provably the same pair set because band collisions are pairwise) the
+    candidate set ``minhash_lsh_pairs`` verifies.  Memoized (r7): one band
+    self-join per attempt instead of one per consumer query."""
+    def build() -> DataFrame:
+        sigs = _sigsets(s, d).select("id", "minhash")
+        return minhash_lsh.minhash_candidates(
+            minhash_lsh.minhash_bands(sigs, CFG))
+    return _memo(s, d, "mh_band_cands", build)
+
+
 def _simhash_combo_pairs(s: SparkSession, d: str) -> DataFrame:
     """(a, b, hamming): ALL pairs within Hamming <= threshold, via the
     combo banding scheme.  Memoized (r7) because the frame is both the
@@ -257,7 +271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return minhash_lsh.minhash_pairs(
             _docs(s, d), cfg=CFG, threshold=CFG.jaccard_threshold,
             sigs=ss.select("id", "minhash"),
-            sets=ss.select("id", "shingles")).withColumn(
+            sets=ss.select("id", "shingles"),
+            cands=_mh_band_cands(s, d)).withColumn(
                 "jaccard", F.round("jaccard", 6))
 
     q["minhash_lsh_pairs"] = _mh_pairs
@@ -280,9 +295,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # reference's re-rank metric (minhash_search.py:81-83), oracle-checked
     def _est_jaccard(s: SparkSession, d: str) -> DataFrame:
         sigs = _sigsets(s, d).select("id", "minhash")
-        cands = minhash_lsh.minhash_candidates(
-            minhash_lsh.minhash_bands(sigs, CFG))
-        return minhash_lsh.signature_jaccard(cands, sigs).withColumn(
+        # r7: the banded candidate frame is the memoized _mh_band_cands —
+        # shared with minhash_lsh_pairs instead of re-running the band join
+        return minhash_lsh.signature_jaccard(
+            _mh_band_cands(s, d), sigs).withColumn(
             "est_jaccard", F.round("est_jaccard", 6))
 
     q["minhash_est_jaccard"] = _est_jaccard

@@ -395,3 +395,39 @@ def test_minhash_empty_docs_never_pair(spark):
         ids = {x for r in b for x in (r[0], r[1])}
         assert not ids & {"e1", "e2", "e3"}, (kw, ids)
         assert ("a1", "a2") in {(r[0], r[1]) for r in b}, kw
+
+
+def test_minhash_precomputed_cands_identical(spark):
+    """r7: ``minhash_edges(cands=...)`` — a precomputed banded candidate
+    frame built over the RAW (unfiltered) signature table, as the entry's
+    shared ``_mh_band_cands`` memo builds it — must produce the bit-identical
+    pair set to the internal banding path, INCLUDING on a corpus with
+    empty/whitespace docs (whose sentinel signatures band-collide in the raw
+    frame but are anti-joined out; band collisions are pairwise, so no other
+    pair is affected)."""
+    from webdedup.functions.signatures import minhash_shingle_sets
+
+    rows = [("e1", ""), ("e2", "   \n\t "),
+            ("a1", "the quick brown fox jumps over the lazy dog again and "
+                   "again until the dog finally moves away from the gate"),
+            ("a2", "the quick brown fox jumps over the lazy dog again and "
+                   "again until the dog finally moves away from the door"),
+            ("b1", "completely unrelated text about spark catalyst plans "
+                   "and shuffle partitions in a distributed engine")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fused = minhash_shingle_sets(docs, CFG).localCheckpoint()
+    sigs = fused.select("id", "minhash")
+    sets = fused.select("id", "shingles")
+    cands = minhash_lsh.minhash_candidates(
+        minhash_lsh.minhash_bands(sigs, CFG))
+    # raw frame must actually contain sentinel pairs for the test to bite
+    assert ("e1", "e2") in _pairset(cands)
+    base = minhash_lsh.minhash_pairs(
+        docs, cfg=CFG, threshold=0.3, sigs=sigs, sets=sets)
+    pre = minhash_lsh.minhash_pairs(
+        docs, cfg=CFG, threshold=0.3, sigs=sigs, sets=sets, cands=cands)
+    assert {tuple(r) for r in base.collect()} == \
+           {tuple(r) for r in pre.collect()}
+    assert ("a1", "a2") in _pairset(pre)
+    ids = {x for r in pre.select("a", "b").collect() for x in r}
+    assert not ids & {"e1", "e2"}

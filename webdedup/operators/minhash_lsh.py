@@ -118,6 +118,7 @@ def minhash_edges(df: DataFrame | None, id_col: str = "doc_id",
                   est_prefilter: float | None = None,
                   fast_accept: float | None = None,
                   collapse_identical: bool = False,
+                  cands: DataFrame | None = None,
                   ) -> tuple[DataFrame, DataFrame]:
     """(pairs, overflow_quarantine): banded LSH candidates verified by EXACT
     shingle Jaccard >= threshold — the MinHash twin of ``simhash_edges``.
@@ -156,6 +157,19 @@ def minhash_edges(df: DataFrame | None, id_col: str = "doc_id",
     ``sigs``/``sets``: optional materialized signature / shingle-set tables
     (stage tables in the pipeline) — without them the whole signature UDF
     subtree is embedded in a self-join plan and executes once per join arm.
+
+    ``cands``: optional PRECOMPUTED banded candidate frame (a, b) built over
+    the RAW signature table — ``minhash_candidates(minhash_bands(sigs))``,
+    the exact frame the ``minhash_est_jaccard`` query ranks (r7: the entry
+    memoizes it once per session and shares it across the minhash derived
+    views instead of paying the band self-join per query).  Band collisions
+    are PAIRWISE — dropping a document from the band table never changes
+    whether two OTHER documents collide — so restricting the precomputed
+    frame to non-sentinel docs (two anti-joins against the tiny empty-doc
+    id set) yields EXACTLY the pair set of banding the sentinel-filtered
+    table, by construction on any corpus.  Only supported with
+    ``skew_mode=None`` / ``collapse_identical=False`` (the caller that
+    built the frame already chose its own skew handling).
 
     ``collapse_identical``: pre-collapse documents with IDENTICAL shingle
     sets into one representative before banding (VERDICT r4 #4: exact
@@ -205,7 +219,22 @@ def minhash_edges(df: DataFrame | None, id_col: str = "doc_id",
     # could notice (empty-vs-nonempty J=0 pairs — which banding essentially
     # never surfaces as candidates anyway).
     from webdedup.functions.hashing import MERSENNE61
-    sigs = sigs.filter(F.element_at("minhash", 1) != F.lit(MERSENNE61))
+    sentinel = F.element_at("minhash", 1) == F.lit(MERSENNE61)
+    if cands is not None:
+        if collapse_identical or skew_mode is not None:
+            raise ValueError(
+                "cands (a precomputed banded candidate frame) is only "
+                "supported with skew_mode=None and collapse_identical="
+                "False — the builder of the frame owns skew handling")
+        # the frame was banded over the RAW signature table; restrict to
+        # non-sentinel docs (see docstring: pairwise collisions make this
+        # exactly the filtered-table pair set).  AQE turns these into
+        # broadcast anti-joins at runtime when the empty-id set is small.
+        empty_ids = sigs.filter(sentinel).select("id")
+        cands = (cands
+                 .join(empty_ids.withColumnRenamed("id", "a"), "a", "left_anti")
+                 .join(empty_ids.withColumnRenamed("id", "b"), "b", "left_anti"))
+    sigs = sigs.filter(~sentinel)
     if collapse_identical:
         if skew_mode == "cap":
             raise ValueError(
@@ -214,19 +243,22 @@ def minhash_edges(df: DataFrame | None, id_col: str = "doc_id",
         return _collapsed_minhash_edges(
             df, id_col, text_col, cfg, t, sigs, sets, skew_mode,
             est_prefilter, fast_accept)
-    bands = minhash_bands(sigs, cfg)
-    overflow = bands.limit(0)
-    if skew_mode == "salt":
-        from webdedup.operators.simhash_lsh import salted_band_candidates
-        cands = salted_band_candidates(
-            bands, cfg.max_bucket_size, cfg.salt_factor)
-    elif skew_mode == "cap":
-        kept, overflow = cap_buckets(bands, cfg.max_bucket_size)
-        cands = minhash_candidates(kept)
-    elif skew_mode is None:
-        cands = minhash_candidates(bands)
+    if cands is not None:
+        overflow = minhash_bands(sigs.limit(0), cfg)  # empty, bands-shaped
     else:
-        raise ValueError(skew_mode)
+        bands = minhash_bands(sigs, cfg)
+        overflow = bands.limit(0)
+        if skew_mode == "salt":
+            from webdedup.operators.simhash_lsh import salted_band_candidates
+            cands = salted_band_candidates(
+                bands, cfg.max_bucket_size, cfg.salt_factor)
+        elif skew_mode == "cap":
+            kept, overflow = cap_buckets(bands, cfg.max_bucket_size)
+            cands = minhash_candidates(kept)
+        elif skew_mode is None:
+            cands = minhash_candidates(bands)
+        else:
+            raise ValueError(skew_mode)
     if est_prefilter is not None or fast_accept is not None:
         est = signature_jaccard(cands, sigs)
         if est_prefilter is not None:
@@ -318,7 +350,8 @@ def minhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   sets: DataFrame | None = None,
                   skew_mode: str | None = None,
                   est_prefilter: float | None = None,
-                  collapse_identical: bool = False) -> DataFrame:
+                  collapse_identical: bool = False,
+                  cands: DataFrame | None = None) -> DataFrame:
     """(a, b, jaccard) convenience wrapper over ``minhash_edges`` for the
     LOSSLESS modes only (``skew_mode`` in {None, 'salt'}).  The lossy 'cap'
     mode returns a quarantine frame that must not be discarded — call
@@ -331,5 +364,5 @@ def minhash_pairs(df: DataFrame, id_col: str = "doc_id",
     pairs, _empty = minhash_edges(
         df, id_col, text_col, cfg, threshold, sigs=sigs, sets=sets,
         skew_mode=skew_mode, est_prefilter=est_prefilter,
-        collapse_identical=collapse_identical)
+        collapse_identical=collapse_identical, cands=cands)
     return pairs
