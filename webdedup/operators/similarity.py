@@ -477,10 +477,17 @@ def _lloyd_step(v: DataFrame, cents: DataFrame) -> DataFrame:
     """
     dist2 = _dist2_batch()(F.col("vec"), F.col("cvec"))
     w = Window.partitionBy("id").orderBy(F.asc("_d2"), F.asc("cid"))
+    # narrow-rank shape (r7, guide §2.3 "shuffle fewer bytes"): the window
+    # exchange moves (id, cid, _d2) rows only — k copies of the full vector
+    # per doc would otherwise ride the shuffle — and the winning (id, cid)
+    # rows join the vector back from the source projection once
     assign = (v.crossJoin(F.broadcast(cents))
               .withColumn("_d2", F.round(dist2, 6))
+              .select("id", "cid", "_d2")
               .withColumn("_rk", F.row_number().over(w))
               .filter(F.col("_rk") == 1)
+              .select("id", "cid")
+              .join(v, "id")
               .select("cid", "vec"))
     means = (assign.select("cid", F.posexplode("vec").alias("dim", "x"))
              .groupBy("cid", "dim")
@@ -551,13 +558,21 @@ def ivf_assignments(df: DataFrame, id_col: str = "vec_id",
     # and every oracle row built on it, is unchanged (guide §4.1/§4.2)
     dist2 = _dist2_batch()(F.col("vec"), F.col("cvec"))
     w = Window.partitionBy("id").orderBy(F.asc("_d2"), F.asc("cid"))
-    return (
+    # narrow-rank shape (r7, guide §2.3): rank over (id, cid, _d2) rows so
+    # the window exchange never carries the vector — the old shape shuffled
+    # k_centroids copies of every embedding (n·k·dim doubles; ~8 GB at 1M
+    # docs × 16 cents × 64 dims) where n·k·24 B suffices — then join the
+    # vector back once by id (AQE picks the join side; values unchanged:
+    # same distances, same (rounded-_d2, cid) rank, same rows)
+    ranks = (
         v.crossJoin(F.broadcast(cents))
         .withColumn("_d2", F.round(dist2, 6))  # 6dp: stable cross-engine rank
+        .select("id", "cid", "_d2")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= nprobe)
-        .select("id", "vec", "rank", "cid")
+        .select("id", "rank", "cid")
     )
+    return ranks.join(v, "id").select("id", "vec", "rank", "cid")
 
 
 def _ivf2_assign(df: DataFrame, id_col: str, vec_col: str,
@@ -584,11 +599,19 @@ def _ivf2_assign(df: DataFrame, id_col: str, vec_col: str,
               .select("cid", F.col("id").alias("cid2"),
                       F.col("vec").alias("cvec2")))
     dist2 = _dist2_batch()(F.col("vec"), F.col("cvec2"))
-    # rank sub-centroids within every (vector, probed level-1 list)
+    # rank sub-centroids within every (vector, probed level-1 list).
+    # narrow-rank shape (r7, guide §2.3): the w2 exchange moves
+    # (id, rank, cid, cid2, _d2) rows — the old shape shuffled
+    # nprobe1·k2 copies of every vector — and the vector joins back once
+    # from the source projection (id is unique there; values unchanged)
     w2 = Window.partitionBy("id", "cid").orderBy(F.asc("_d2"), F.asc("cid2"))
-    return (a1.join(F.broadcast(cents2), "cid")
-            .withColumn("_d2", F.round(dist2, 6))
-            .withColumn("rk2", F.row_number().over(w2))
+    ranked = (a1.join(F.broadcast(cents2), "cid")
+              .withColumn("_d2", F.round(dist2, 6))
+              .select("id", "rank", "cid", "cid2", "_d2")
+              .withColumn("rk2", F.row_number().over(w2)))
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    return (ranked.join(v, "id")
+            .select("id", "vec", "rank", "cid", "cid2", "rk2")
             .localCheckpoint(eager=False))
 
 
